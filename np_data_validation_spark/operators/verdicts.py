@@ -1,0 +1,285 @@
+"""The verdict classifier — the engine's flagship operator.
+
+Re-expresses the reference's 9-branch ``DataValidationFile.__eq__``
+decision tree (/root/reference/data_validation.py:547-628) as ONE ordered
+Catalyst CASE expression evaluated after the snapshot x manifest join, so
+classification of 10^12 pairs runs inside whole-stage codegen with zero
+Python.
+
+Semantic mapping (SURVEY.md §1.3):
+
+* reference "path"      -> (doc_id, source)   full record location
+* reference "name"      -> doc_id             location-independent identity
+* reference "size"      -> n_tok              cheap surrogate
+* reference "checksum"  -> tok_hash           expensive fingerprint, nullable
+
+Branch order is load-bearing (SURVEY.md §7.3 hard parts 1-2): e.g.
+CHECKSUM_COLLISION requires name!= only because the same-name branches
+above it consumed name=; UNKNOWN is the fall-through (reference :627-628);
+SELF_NO_CHECKSUM vs OTHER_NO_CHECKSUM depend on which *side* lacks the
+hash (reference :536-537, :558-573) — subject = snapshot, other = manifest.
+Property-tested against a pure-Python oracle of the reference tree
+(tests/test_verdicts.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from np_data_validation_spark.operators.skew import choose_join
+
+# Verdict codes mirror the reference IntFlag values
+# (/root/reference/data_validation.py:529-545). MISSING_COUNTERPART is an
+# engine extension for the anti-join outcome the reference handled
+# imperatively ("no hits" -> probe backups -> report missing,
+# /root/reference/data_validation.py:1244-1266).
+UNKNOWN = -1
+UNRELATED = 0
+SELF = 5
+SELF_NO_CHECKSUM = 6
+OTHER_NO_CHECKSUM = 7
+CHECKSUM_COLLISION = 10
+UNSYNCED_DATA = 11
+UNSYNCED_CHECKSUM = 12
+UNSYNCED_OR_CORRUPT_DATA = 13
+MISSING_COUNTERPART = 14
+VALID_COPY_SAME_NAME = 21
+VALID_COPY_RENAMED = 22
+
+VERDICT_NAMES = {
+    UNKNOWN: "UNKNOWN",
+    UNRELATED: "UNRELATED",
+    SELF: "SELF",
+    SELF_NO_CHECKSUM: "SELF_NO_CHECKSUM",
+    OTHER_NO_CHECKSUM: "OTHER_NO_CHECKSUM",
+    CHECKSUM_COLLISION: "CHECKSUM_COLLISION",
+    UNSYNCED_DATA: "UNSYNCED_DATA",
+    UNSYNCED_CHECKSUM: "UNSYNCED_CHECKSUM",
+    UNSYNCED_OR_CORRUPT_DATA: "UNSYNCED_OR_CORRUPT_DATA",
+    MISSING_COUNTERPART: "MISSING_COUNTERPART",
+    VALID_COPY_SAME_NAME: "VALID_COPY_SAME_NAME",
+    VALID_COPY_RENAMED: "VALID_COPY_RENAMED",
+}
+
+#: Threshold bands, straight from the reference: >0 related, >=10
+#: "interesting hit" (:1242), [10,13] invalid-copy band
+#: (/root/reference/strategies.py:59-60), >=21 valid backup (:531-532).
+INTERESTING_MIN = CHECKSUM_COLLISION
+INVALID_BAND = (CHECKSUM_COLLISION, UNSYNCED_OR_CORRUPT_DATA)
+VALID_MIN = VALID_COPY_SAME_NAME
+
+#: verdict -> violation class (the north_star's named violation rows).
+VIOLATION_CLASS = {
+    UNSYNCED_DATA: "SIZE_MISMATCH",
+    UNSYNCED_CHECKSUM: "STALE_CHECKSUM",
+    UNSYNCED_OR_CORRUPT_DATA: "CHECKSUM_MISMATCH",
+    MISSING_COUNTERPART: "MISSING_COUNTERPART",
+}
+
+
+def classify_expr(
+    doc_id: str = "doc_id",
+    source: str = "source",
+    n_tok: str = "n_tok",
+    tok_hash: str = "tok_hash",
+    m_doc_id: str = "m_doc_id",
+    m_source: str = "m_source",
+    m_n_tok: str = "m_n_tok",
+    m_tok_hash: str = "m_tok_hash",
+    missing_if_no_counterpart: bool = True,
+) -> Column:
+    """Ordered CASE translating the reference decision tree 1:1.
+
+    Reference branch -> engine predicate (s=snapshot/subject, m=manifest/
+    other). ``hash_eq`` etc. are only consulted behind both-non-null guards,
+    mirroring the truthiness guards in the reference.
+    """
+    s_doc, s_src = F.col(doc_id), F.col(source)
+    s_nt, s_h = F.col(n_tok), F.col(tok_hash)
+    m_doc, m_src = F.col(m_doc_id), F.col(m_source)
+    m_nt, m_h = F.col(m_n_tok), F.col(m_tok_hash)
+
+    both_hash = s_h.isNotNull() & m_h.isNotNull()
+    hash_eq = s_h == m_h
+    size_eq = s_nt == m_nt
+    # reference compares case-insensitively (:554 etc.); ids are normalized
+    # at ingest (sources.normalize), so plain equality here keeps the join
+    # key bucketing-friendly.
+    name_eq = s_doc == m_doc
+    path_eq = name_eq & (s_src == m_src)
+
+    if missing_if_no_counterpart:
+        c = F.when(m_doc.isNull() & m_h.isNull() & m_nt.isNull(), F.lit(MISSING_COUNTERPART))
+        # ref :551-556
+        c = c.when(both_hash & hash_eq & size_eq & path_eq, F.lit(SELF))
+    else:
+        c = F.when(both_hash & hash_eq & size_eq & path_eq, F.lit(SELF))
+    # ref :560-565 (subject lacks checksum)
+    c = c.when(size_eq & path_eq & s_h.isNull() & m_h.isNotNull(), F.lit(SELF_NO_CHECKSUM))
+    # ref :568-573 (other lacks checksum)
+    c = c.when(size_eq & path_eq & s_h.isNotNull() & m_h.isNull(), F.lit(OTHER_NO_CHECKSUM))
+    # ref :575-581
+    c = c.when(both_hash & hash_eq & size_eq & name_eq & ~path_eq, F.lit(VALID_COPY_SAME_NAME))
+    # ref :583-589
+    c = c.when(both_hash & hash_eq & size_eq & ~name_eq & ~path_eq, F.lit(VALID_COPY_RENAMED))
+    # ref :591-611 invalid-copy block (name=, path!=, both hashes)
+    c = c.when(both_hash & name_eq & ~path_eq & ~size_eq & ~hash_eq, F.lit(UNSYNCED_DATA))
+    c = c.when(both_hash & name_eq & ~path_eq & ~size_eq & hash_eq, F.lit(UNSYNCED_CHECKSUM))
+    c = c.when(both_hash & name_eq & ~path_eq & size_eq & ~hash_eq, F.lit(UNSYNCED_OR_CORRUPT_DATA))
+    # ref :613-618
+    c = c.when(both_hash & hash_eq & ~size_eq & ~name_eq, F.lit(CHECKSUM_COLLISION))
+    # ref :620-625
+    c = c.when(both_hash & ~hash_eq & ~size_eq & ~name_eq, F.lit(UNRELATED))
+    # ref :627-628 fall-through
+    return c.otherwise(F.lit(UNKNOWN))
+
+
+def verdict_name_expr(code_col: str = "verdict_code") -> Column:
+    """Readable verdict names via a chained CASE (stays in codegen)."""
+    c = None
+    for code, name in VERDICT_NAMES.items():
+        c = (F.when if c is None else c.when)(F.col(code_col) == code, F.lit(name))
+    return c.otherwise(F.lit("INVALID"))
+
+
+def _manifest_aliased(manifest: DataFrame) -> DataFrame:
+    """Manifest columns renamed to the m_* side, deduped on full identity —
+    the reference's set() materialization on (checksum, size, path)
+    (/root/reference/data_validation.py:630-633, :834-840) done BEFORE the
+    join so duplicate manifest rows can't inflate pair counts (SURVEY.md
+    §7.3 hard part 5)."""
+    return manifest.select(
+        F.col("doc_id").alias("m_doc_id"),
+        F.col("source").alias("m_source"),
+        F.col("n_tok").alias("m_n_tok"),
+        F.col("tok_hash").alias("m_tok_hash"),
+    ).dropDuplicates(["m_doc_id", "m_source", "m_n_tok", "m_tok_hash"])
+
+
+def classify_pairs(
+    snapshot: DataFrame,
+    manifest: DataFrame,
+    join_strategy: str = "auto",
+    manifest_rows: int | None = None,
+    probe_renamed: bool = True,
+) -> DataFrame:
+    """snapshot x manifest -> one row per (subject, counterpart) pair with
+    ``verdict_code`` + ``verdict``.
+
+    Stage 1 — keyed equi-join on ``doc_id`` (the reference's session-keyed
+    ``get_matches`` lookup, /root/reference/data_validation.py:759-763,
+    :827-829), left join so subjects with no counterpart surface as
+    MISSING_COUNTERPART instead of disappearing.
+
+    Stage 2 (probe) — subjects with no doc_id hit are probed against the
+    manifest by content: equi-join on (tok_hash, n_tok) -> VALID_COPY_RENAMED
+    and on tok_hash alone -> CHECKSUM_COLLISION. This is the reference's
+    "scan backups for any size-equal file, then checksum it" fallback
+    (/root/reference/data_validation.py:1256-1266, strategies.py:152-166)
+    with the cheap/expensive predicate order inverted because the hash is
+    already materialized for every row.
+
+    Scale notes: stage 1 is the big join — sort-merge/shuffled-hash on
+    doc_id at 10^12 rows (AQE handles skew splits), broadcast when the
+    manifest is small. Stage 2 runs only on stage-1 misses (normally a tiny
+    fraction) so its extra shuffle on tok_hash is marginal.
+    """
+    m = _manifest_aliased(manifest)
+    snap = snapshot.select("doc_id", "source", "n_tok", "tok_hash")
+
+    pairs = choose_join(
+        snap,
+        m,
+        on=[snap.doc_id == m.m_doc_id],
+        how="left",
+        strategy=join_strategy,
+        right_rows=manifest_rows,
+    )
+
+    if probe_renamed:
+        matched = pairs.filter(F.col("m_doc_id").isNotNull())
+        missed = pairs.filter(F.col("m_doc_id").isNull()).select(
+            "doc_id", "source", "n_tok", "tok_hash"
+        )
+        # content probe: hash join (selective) then classify; n_tok match
+        # decides renamed-copy vs collision inside the CASE.
+        probed = choose_join(
+            missed.filter(F.col("tok_hash").isNotNull()),
+            m.filter(F.col("m_tok_hash").isNotNull()),
+            on=[F.col("tok_hash") == F.col("m_tok_hash")],
+            how="left",
+            strategy=join_strategy,
+            right_rows=manifest_rows,
+        )
+        still_missing = missed.filter(F.col("tok_hash").isNull()).select(
+            "doc_id",
+            "source",
+            "n_tok",
+            "tok_hash",
+            F.lit(None).cast("string").alias("m_doc_id"),
+            F.lit(None).cast("string").alias("m_source"),
+            F.lit(None).cast("int").alias("m_n_tok"),
+            F.lit(None).cast("long").alias("m_tok_hash"),
+        )
+        pairs = matched.unionByName(probed).unionByName(still_missing)
+
+    out = pairs.withColumn("verdict_code", classify_expr())
+    return out.withColumn("verdict", verdict_name_expr())
+
+
+def rollup_verdicts(pairs: DataFrame) -> DataFrame:
+    """Per-subject rollup over its pair verdicts.
+
+    ``final_verdict_code`` = max code — the threshold semantics make max
+    meaningful (valid backups 21+ dominate, invalid band 10-13 dominates
+    benign 0-7), matching the reference's "any hit >= VALID_COPY..."
+    action gate (:1329) and "any invalid copy vetoes" rule
+    (/root/reference/strategies.py:135-138).
+    """
+    return (
+        pairs.groupBy("doc_id", "source")
+        .agg(
+            F.max("verdict_code").alias("final_verdict_code"),
+            F.max((F.col("verdict_code") >= VALID_MIN) | (F.col("verdict_code") == SELF)).alias("has_valid"),
+            F.max(F.col("verdict_code").between(UNSYNCED_DATA, UNSYNCED_OR_CORRUPT_DATA)).alias("has_invalid"),
+            F.max(F.col("verdict_code") == MISSING_COUNTERPART).alias("is_missing"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+        .withColumn(
+            "row_status",
+            F.when(F.col("has_invalid") | F.col("is_missing"), F.lit("fail"))
+            .when(F.col("has_valid") | F.col("final_verdict_code").isin(SELF_NO_CHECKSUM, OTHER_NO_CHECKSUM), F.lit("pass"))
+            .otherwise(F.lit("unknown")),
+        )
+    )
+
+
+def extract_violations(pairs: DataFrame) -> DataFrame:
+    """Violation rows (schema.VIOLATIONS) from classified pairs — the
+    reference's report()-then-act path (/root/reference/data_validation.py:
+    1403-1447) as a table instead of a log."""
+    code = F.col("verdict_code")
+    cls = None
+    for verdict, name in VIOLATION_CLASS.items():
+        cls = (F.when if cls is None else cls.when)(code == verdict, F.lit(name))
+    cls = cls.otherwise(F.lit(None))
+    return (
+        pairs.withColumn("violation", cls)
+        .filter(F.col("violation").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            "violation",
+            F.to_json(
+                F.struct(
+                    F.col("verdict"),
+                    F.col("n_tok"),
+                    F.col("m_n_tok"),
+                    F.col("tok_hash"),
+                    F.col("m_tok_hash"),
+                    F.col("m_source"),
+                )
+            ).alias("detail"),
+        )
+    )
