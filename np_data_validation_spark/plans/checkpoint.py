@@ -1,0 +1,112 @@
+"""Per-partition validation state: lineage + metrics + resume gate.
+
+The reference resumes by re-running and skipping inserts that already have a
+SELF match (dedup-on-insert, /root/reference/data_validation.py:728-734) —
+idempotent but it still RESCANS everything. Here state is explicit: one row
+per (partition, run) appended to ``<out>/_validation_state``; at startup the
+pending set = all partitions minus those whose latest state is ``done`` with
+a matching input fingerprint. Pruned partitions are never scanned (the
+``source IN (pending)`` predicate hits the hive-partition layout).
+
+Atomicity without Iceberg transactions (SURVEY.md §7.3 hard part 4): result
+parquet is written FIRST (dynamic partition overwrite, so a re-run of a
+failed partition replaces its output), the ``done`` state row is appended
+LAST. A crash between the two re-runs the partition; output overwrite makes
+that idempotent. On Iceberg, both writes become one transaction behind the
+same interface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from np_data_validation_spark.schema import VALIDATION_STATE
+
+STATE_DIR = "_validation_state"
+
+
+def state_path(out_dir: str) -> str:
+    return os.path.join(out_dir, STATE_DIR)
+
+
+def read_state(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Latest state row per partition (empty frame if no state yet)."""
+    path = state_path(out_dir)
+    try:
+        raw = spark.read.schema(VALIDATION_STATE).parquet(path)
+    except Exception:
+        return spark.createDataFrame([], VALIDATION_STATE)
+    w = Window.partitionBy("partition").orderBy(F.col("finished_at").desc())
+    return (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def done_partitions(
+    spark: SparkSession, out_dir: str, fingerprints: dict[str, str] | None = None
+) -> set[str]:
+    """Partitions whose latest state is done — and, when fingerprints of the
+    current input are supplied, whose recorded input fingerprint still
+    matches (changed input invalidates the checkpoint, reference X4
+    memoization semantics)."""
+    rows = read_state(spark, out_dir).filter(F.col("status") == "done").collect()
+    done = set()
+    for r in rows:
+        if fingerprints is not None:
+            try:
+                lineage = json.loads(r["lineage"] or "{}")
+            except json.JSONDecodeError:
+                continue
+            if lineage.get("input_fingerprint") != fingerprints.get(r["partition"]):
+                continue
+        done.add(r["partition"])
+    return done
+
+
+def write_state_rows(
+    spark: SparkSession,
+    out_dir: str,
+    rows: list[dict],
+    run_id: str | None = None,
+) -> str:
+    """Append state rows (one commit per call — the LAST step of a batch)."""
+    run_id = run_id or uuid.uuid4().hex
+    df = spark.createDataFrame(
+        [
+            {
+                "partition": r["partition"],
+                "status": r.get("status", "done"),
+                "run_id": run_id,
+                "metrics": json.dumps(r.get("metrics", {}), sort_keys=True),
+                "lineage": json.dumps(r.get("lineage", {}), sort_keys=True),
+            }
+            for r in rows
+        ],
+        schema="partition string, status string, run_id string, metrics string, lineage string",
+    ).withColumn("finished_at", F.current_timestamp())
+    df.write.mode("append").parquet(state_path(out_dir))
+    return run_id
+
+
+def input_fingerprints(snapshot: DataFrame) -> dict[str, str]:
+    """Cheap per-partition input fingerprint: row count + n_tok sum + doc_id
+    hash-sum. One aggregate scan; no token payload read (column pruning
+    keeps the parquet scan to 3 light columns)."""
+    rows = (
+        snapshot.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_tok").alias("s"),
+            # xor-fold: order-independent, overflow-free under ANSI mode
+            F.expr("bit_xor(xxhash64(doc_id))").alias("h"),
+        )
+        .collect()
+    )
+    return {r["source"]: f"{r['n']}:{r['s']}:{r['h']}" for r in rows}

@@ -1,0 +1,116 @@
+"""Source-format parsers + the streaming validation surface."""
+
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from np_data_validation_spark import sources
+from np_data_validation_spark.streaming.incremental import validate_stream
+
+
+def test_manifest_from_json(spark, tmp_path):
+    p = tmp_path / "man.jsonl"
+    p.write_text(
+        '{"doc_id":"a","n_tok":3,"tok_hash":123,"source":"s1"}\n'
+        '{"doc_id":"b","n_tok":5,"tok_hash":null,"source":"s2"}\n'
+        "this is not json\n"
+        '{"n_tok":9}\n'
+    )
+    df = sources.manifest_from_json(spark, str(p)).orderBy("doc_id")
+    rows = df.collect()
+    assert [(r["doc_id"], r["n_tok"], r["tok_hash"]) for r in rows] == [
+        ("a", 3, 123),
+        ("b", 5, None),
+    ]
+
+
+def test_manifest_from_sums(spark, tmp_path):
+    p = tmp_path / "golden.sums"
+    p.write_text(
+        "00000000000000ff doc_a 10\n"
+        "ffffffffffffffff doc_b 20\n"
+        "garbage line\n"
+        "8000000000000000 doc_c 30\n"
+    )
+    df = sources.manifest_from_sums(spark, str(p)).orderBy("doc_id")
+    rows = {r["doc_id"]: (r["n_tok"], r["tok_hash"]) for r in df.collect()}
+    assert rows["doc_a"] == (10, 255)
+    assert rows["doc_b"] == (20, -1)  # 0xFFFF... -> signed -1
+    assert rows["doc_c"] == (30, -(2**63))  # sign bit set
+    assert set(rows) == {"doc_a", "doc_b", "doc_c"}
+
+
+def test_glob_manifest(spark, tmp_path):
+    (tmp_path / "x.parquet").write_bytes(b"12345")
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "sub" / "y.parquet").write_bytes(b"123")
+    (tmp_path / "z.txt").write_bytes(b"1")
+    df = sources.glob_manifest(spark, str(tmp_path))
+    rows = {r["name"]: r["size"] for r in df.collect()}
+    assert rows == {"x.parquet": 5, "y.parquet": 3}
+
+
+def test_normalize_ids(spark):
+    df = spark.createDataFrame(
+        [("  DOC_A ", "SRC_X")], "doc_id string, source string"
+    )
+    r = sources.normalize_ids(df).collect()[0]
+    assert (r["doc_id"], r["source"]) == ("doc_a", "src_x")
+
+
+def _seq_file(path, doc_ids, tokens, source):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "tokens": pa.array(tokens, pa.list_(pa.int32())),
+            "n_tok": pa.array([len(t) for t in tokens], pa.int32()),
+            "source": pa.array([source] * len(doc_ids), pa.string()),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def test_streaming_incremental_validation(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "out")
+
+    from np_data_validation_spark.functions.hashing import xxh64_int32_scalar
+
+    def s64(toks):
+        return int(np.uint64(xxh64_int32_scalar(toks)).astype(np.int64))
+
+    manifest = spark.createDataFrame(
+        [
+            ("d1", 3, s64([1, 2, 3]), "s1"),
+            ("d2", 3, s64([7, 8, 9]), "s1"),
+        ],
+        "doc_id string, n_tok int, tok_hash long, source string",
+    )
+
+    # batch 1: one clean file
+    _seq_file(str(landing / "f1.parquet"), ["d1"], [[1, 2, 3]], "s1")
+    q = validate_stream(spark, str(landing), manifest, out)
+    q.awaitTermination(120)
+
+    verdicts = spark.read.parquet(os.path.join(out, "verdicts"))
+    assert verdicts.count() == 1
+    assert verdicts.collect()[0]["row_status"] == "pass"
+
+    # batch 2: a corrupt file arrives -> only the new file is processed
+    _seq_file(str(landing / "f2.parquet"), ["d2"], [[7, 8, 0]], "s2")
+    q2 = validate_stream(spark, str(landing), manifest, out)
+    q2.awaitTermination(120)
+
+    verdicts = spark.read.parquet(os.path.join(out, "verdicts"))
+    assert verdicts.count() == 2  # exactly-once: f1 NOT reprocessed
+    d2 = verdicts.filter(F.col("doc_id") == "d2").collect()[0]
+    assert d2["row_status"] == "fail"
+    violations = spark.read.parquet(os.path.join(out, "violations"))
+    assert violations.filter(
+        (F.col("doc_id") == "d2") & (F.col("violation") == "CHECKSUM_MISMATCH")
+    ).count() == 1
