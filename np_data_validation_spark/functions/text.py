@@ -1,0 +1,195 @@
+"""Text analysis for training-data pipelines — language-ID, quality
+scoring, token counting, document fingerprinting.
+
+Every function here is built from JVM-side ``pyspark.sql.functions``
+expressions (whole-stage codegen; no Python in the hot path) and has an
+exactly-equivalent ANSI-SQL form runnable by DuckDB, so each gets a real
+value-level oracle in ``__spark_entry__.oracle_sql``. Shared constants
+(regexes, stopword lists, hash width) live here so the Spark and SQL sides
+can't drift.
+
+The portable content hash is the first 60 bits of md5 — identical in Spark
+(``conv(substr(md5(x),1,15),16,10)``) and DuckDB
+(``CAST('0x' || substr(md5(x),1,15) AS BIGINT)``). 60 bits keeps it inside
+a signed int64 in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: BPE-ish token pattern: letter runs, digit runs, single non-space symbols.
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+#: Punctuation-ish characters for quality ratios. (No quote characters —
+#: the pattern is embedded in SQL string literals for the DuckDB oracle.)
+PUNCT_PATTERN = "[.,;:!?()\\[\\]{}-]"
+
+#: Tiny per-language stopword lists for the n-gram/stopword language
+#: heuristic. Deliberately small: the heuristic is the operator under test,
+#: not a production model.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "es": ["el", "la", "de", "que", "y", "los", "es", "una"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une", "dans"],
+}
+
+ENGLISH_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def _word_pattern(words: list[str]) -> str:
+    return "(?i)\\b(" + "|".join(words) + ")\\b"
+
+
+def portable_hash60(col: Column | str) -> Column:
+    """60-bit md5-derived hash, bit-identical to the DuckDB oracle form."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def portable_hash60_sql(expr: str) -> str:
+    """DuckDB-side twin of portable_hash60."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def normalize_text(col: Column | str = "text") -> Column:
+    """Canonical form for dedup/fingerprints: lowercase, collapse
+    whitespace, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
+
+
+NORMALIZE_TEXT_SQL = "trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
+
+
+def ws_token_count(col: Column | str = "text") -> Column:
+    """Whitespace token count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(F.trim(c), "\\s+"))
+
+
+def regex_token_count(col: Column | str = "text") -> Column:
+    """BPE-ish token count via TOKEN_PATTERN."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(TOKEN_PATTERN))
+
+
+def punct_ratio(col: Column | str = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(PUNCT_PATTERN)) / F.greatest(
+        F.length(c), F.lit(1)
+    )
+
+
+def stopword_ratio(col: Column | str = "text") -> Column:
+    """English stopword hits / whitespace tokens — a classic quality
+    signal (near-zero for gibberish and non-English)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(_word_pattern(ENGLISH_STOPWORDS))) / F.greatest(
+        ws_token_count(c), F.lit(1)
+    )
+
+
+def digit_ratio(col: Column | str = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit("[0-9]")) / F.greatest(F.length(c), F.lit(1))
+
+
+def quality_score(col: Column | str = "text") -> Column:
+    """Composite [0,1] quality score: length band + stopword presence -
+    punctuation/digit noise. The exact recipe is arbitrary; what matters is
+    that it is deterministic, columnar, and oracle-checkable."""
+    c = F.col(col) if isinstance(col, str) else col
+    length_ok = (F.length(c) >= 100) & (F.length(c) <= 20000)
+    score = (
+        F.when(length_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.least(stopword_ratio(c) * 2, F.lit(0.4))
+        + F.when(punct_ratio(c) < 0.1, F.lit(0.1)).otherwise(F.lit(0.0))
+        + F.when(digit_ratio(c) < 0.2, F.lit(0.1)).otherwise(F.lit(0.0))
+    )
+    return score.cast("double")
+
+
+def lang_id(col: Column | str = "text") -> Column:
+    """Stopword-vote language heuristic: most stopword hits wins; ties go
+    to the earlier language in LANG_STOPWORDS order; no hits -> 'und'."""
+    c = F.col(col) if isinstance(col, str) else col
+    hits = {
+        lang: F.regexp_count(c, F.lit(_word_pattern(words)))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*hits.values())
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in LANG_STOPWORDS:  # insertion order = tie-break priority
+        expr = expr.when(hits[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def doc_fingerprint(col: Column | str = "text") -> Column:
+    """Content fingerprint of the normalized text (the reference's
+    path-independent identity doctrine, /root/reference/data_validation.py:5,
+    applied to documents)."""
+    return portable_hash60(normalize_text(col))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL builders (twin expressions, same constants)
+# ---------------------------------------------------------------------------
+
+
+def ws_token_count_sql(expr: str) -> str:
+    return f"len(regexp_split_to_array(trim({expr}), '\\s+'))"
+
+
+def regex_token_count_sql(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{TOKEN_PATTERN}'))"
+
+
+def punct_ratio_sql(expr: str) -> str:
+    return (
+        f"len(regexp_extract_all({expr}, '{PUNCT_PATTERN}'))"
+        f" / greatest(length({expr}), 1)"
+    )
+
+
+def stopword_ratio_sql(expr: str) -> str:
+    pat = _word_pattern(ENGLISH_STOPWORDS)
+    return (
+        f"len(regexp_extract_all({expr}, '{pat}'))"
+        f" / greatest({ws_token_count_sql(expr)}, 1)"
+    )
+
+
+def digit_ratio_sql(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '[0-9]')) / greatest(length({expr}), 1)"
+
+
+def quality_score_sql(expr: str) -> str:
+    return (
+        f"CAST((CASE WHEN length({expr}) BETWEEN 100 AND 20000 THEN 0.4 ELSE 0.0 END)"
+        f" + least({stopword_ratio_sql(expr)} * 2, 0.4)"
+        f" + (CASE WHEN {punct_ratio_sql(expr)} < 0.1 THEN 0.1 ELSE 0.0 END)"
+        f" + (CASE WHEN {digit_ratio_sql(expr)} < 0.2 THEN 0.1 ELSE 0.0 END) AS DOUBLE)"
+    )
+
+
+def lang_id_sql(expr: str) -> str:
+    hit = {
+        lang: f"len(regexp_extract_all({expr}, '{_word_pattern(words)}'))"
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    best = "greatest(" + ", ".join(hit.values()) + ")"
+    whens = "".join(
+        f" WHEN {hit[lang]} = {best} THEN '{lang}'" for lang in LANG_STOPWORDS
+    )
+    return f"CASE WHEN {best} = 0 THEN 'und'{whens} ELSE 'und' END"
+
+
+def normalize_text_sql(expr: str) -> str:
+    return NORMALIZE_TEXT_SQL.format(expr=expr)
+
+
+def doc_fingerprint_sql(expr: str) -> str:
+    return portable_hash60_sql(normalize_text_sql(expr))

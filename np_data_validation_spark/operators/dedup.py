@@ -1,0 +1,308 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all shuffle-conscious:
+
+* exact          — content-hash groupBy (the reference's dedup-on-insert
+                   doctrine "hash + size identify data regardless of path",
+                   /root/reference/data_validation.py:5, :728-734, applied
+                   to documents)
+* MinHash + LSH  — shingle -> K minhashes -> banded signatures -> bucket
+                   self-join -> candidate pairs (optionally Jaccard-verified)
+* SimHash        — 32-bit sign-sum fingerprint -> banded hamming buckets
+* n-gram Jaccard — exact similarity on candidate pairs (the verify pass)
+* embedding cosine near-dup — see operators/similarity.py
+
+Scale shape: signatures/fingerprints are per-row array expressions (no
+explode until the bucket join, and the exploded row count is docs x bands,
+not docs x shingles). The self-join shuffles on (band, hash) — hot buckets
+(boilerplate-heavy corpora) are capped with ``max_bucket`` before the join,
+the standard guard against quadratic bucket blowup.
+
+Everything except the bucket-join internals is expressible in ANSI SQL; the
+builders at the bottom generate the DuckDB twin queries so the driver can
+value-check candidates end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from np_data_validation_spark.functions.text import (
+    normalize_text,
+    normalize_text_sql,
+    portable_hash60,
+    portable_hash60_sql,
+)
+
+SHINGLE_N = 5
+MINHASH_K = 8
+MINHASH_BANDS = 4  # 4 bands x 2 rows
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 4 bands x 8 bits
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of documents with identical normalized content. One
+    hash-groupBy (map-side combined); returns (fp, n_docs, doc_ids)."""
+    fp = portable_hash60(normalize_text(text_col))
+    return (
+        docs.select(F.col("doc_id"), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup_keep_first(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one representative per content group (lowest doc_id) — the
+    reference's unique-hits reduction (W2,
+    /root/reference/data_validation.py:1274-1284) over documents."""
+    fp = portable_hash60(normalize_text(text_col)).alias("_fp")
+    w = Window.partitionBy("_fp").orderBy("doc_id")
+    return (
+        docs.select("*", fp)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def shingle_expr(text_col: str = "text", n: int = SHINGLE_N) -> Column:
+    """Distinct character n-gram shingles of the normalized text."""
+    t = normalize_text(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.substring(t, i, F.lit(n)))
+    )
+
+
+def minhash_signature(
+    text_col: str = "text", k: int = MINHASH_K, n: int = SHINGLE_N
+) -> list[Column]:
+    """K minhash values: min over shingles of hash(shingle || '#i'). The
+    salt-suffix family replaces K independent hash functions (standard
+    single-hash MinHash variant)."""
+    sh = shingle_expr(text_col, n)
+
+    def salted(i: int):
+        # NB single-arg lambda: PySpark passes (element, index) to 2-arg
+        # lambdas, which would silently replace the salt with the array index
+        salt = F.lit(f"#{i}")
+        return lambda s: portable_hash60(F.concat(s, salt))
+
+    return [
+        F.array_min(F.transform(sh, salted(i))).alias(f"mh_{i}") for i in range(k)
+    ]
+
+
+def minhash_bands(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """(doc_id, band, band_hash) — long form, one row per doc x band."""
+    assert k % bands == 0
+    r = k // bands
+    sig = docs.select("doc_id", *minhash_signature(text_col, k, n))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                portable_hash60(
+                    F.concat_ws(",", *[F.col(f"mh_{b * r + j}").cast("string") for j in range(r)])
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
+    )
+
+
+def _bucket_pairs(long_df: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
+    """Self-join rows sharing a bucket -> ordered candidate pairs."""
+    if max_bucket:
+        counts = long_df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+        long_df = long_df.join(
+            counts.filter(F.col("_n") <= max_bucket).drop("_n"), keys, "left_semi"
+        )
+    a = long_df.select(*keys, F.col("doc_id").alias("doc_a"))
+    b = long_df.select(*keys, F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, keys)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    n: int = SHINGLE_N,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: docs agreeing on >=1 full band."""
+    return _bucket_pairs(
+        minhash_bands(docs, text_col, k, bands, n), ["band", "band_hash"], max_bucket
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    n: int = SHINGLE_N,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs (the verify pass of the
+    two-pass cheap-filter-then-expensive-check pattern, reference J7,
+    /root/reference/data_validation.py:1256-1266)."""
+    sh = docs.select(F.col("doc_id"), shingle_expr(text_col, n).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    out = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "jaccard",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).cast("double"),
+        )
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_expr(text_col: str = "text", bits: int = SIMHASH_BITS) -> Column:
+    """Sign-sum SimHash over word hashes — one array pass per bit, zero
+    shuffle (the fingerprint is a row-local expression)."""
+    words = F.regexp_extract_all(normalize_text(text_col), F.lit("[a-z0-9]+"), 0)
+    hashes = F.transform(words, lambda w: portable_hash60(w))
+
+    def voter(b: int):
+        return lambda a, h: a + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    acc = None
+    for b in range(bits):
+        vote = F.aggregate(hashes, F.lit(0), voter(b))
+        bit = F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+        acc = bit if acc is None else acc + bit
+    return acc
+
+
+def simhash_bands(
+    docs: DataFrame, text_col: str = "text", bands: int = SIMHASH_BANDS
+) -> DataFrame:
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    sh = docs.select("doc_id", simhash_expr(text_col).alias("simhash"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sh.select("doc_id", "simhash", F.explode(band_structs).alias("bb")).select(
+        "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
+    )
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = SIMHASH_BANDS,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Pairs within ``max_hamming`` bits: banded bucket join (a pair within
+    distance d < bands must agree exactly on >=1 band — pigeonhole), then
+    exact popcount verify."""
+    long_df = simhash_bands(docs, text_col, bands)
+    if max_bucket:
+        counts = long_df.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("_n"))
+        long_df = long_df.join(
+            counts.filter(F.col("_n") <= max_bucket).select("band", "band_hash"),
+            ["band", "band_hash"],
+            "left_semi",
+        )
+    a = long_df.select("band", "band_hash", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = long_df.select("band", "band_hash", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twin SQL builders (for __spark_entry__ oracles)
+# ---------------------------------------------------------------------------
+
+
+def shingle_sql(expr: str, n: int = SHINGLE_N) -> str:
+    t = normalize_text_sql(expr)
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(length({t}) - {n - 1}, 1)), "
+        f"i -> substr({t}, i, {n})))"
+    )
+
+
+def minhash_sql(expr: str, i: int, n: int = SHINGLE_N) -> str:
+    return (
+        f"list_min(list_transform({shingle_sql(expr, n)}, "
+        f"s -> {portable_hash60_sql(f_concat(['s', chr(39) + '#' + str(i) + chr(39)]))}))"
+    )
+
+
+def f_concat(parts: list[str]) -> str:
+    return "(" + " || ".join(parts) + ")"
+
+
+def simhash_sql(expr: str, bits: int = SIMHASH_BITS) -> str:
+    t = normalize_text_sql(expr)
+    hashes = (
+        f"list_transform(regexp_extract_all({t}, '[a-z0-9]+'), "
+        f"w -> {portable_hash60_sql('w')})"
+    )
+    terms = []
+    for b in range(bits):
+        vote = (
+            f"coalesce(list_sum(list_transform({hashes}, "
+            f"h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)), 0)"
+        )
+        terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << b} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"

@@ -1,0 +1,184 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_expr`` — JVM-side cosine via zip_with + aggregate (codegen, no
+  Python), with a DuckDB ``list_cosine_similarity`` twin for oracles.
+* ``brute_force_topk`` — exact top-k: broadcast the (small) query side
+  against the (huge) corpus, window rank per query. The correctness
+  baseline; scan cost O(corpus x queries), fully distributed.
+* ``lsh_topk`` — the scale path: sign-random-projection buckets (Charikar
+  hyperplane LSH). Hyperplanes are a seeded numpy matrix broadcast to
+  executors inside a vectorized pandas UDF (one matmul per Arrow batch);
+  candidates = corpus rows sharing the query's bucket (multi-probe over
+  hamming-1 neighbors), exact cosine re-rank on candidates only.
+* ``embedding_near_dups`` — near-duplicate pairs by cosine >= threshold,
+  LSH-bucketed self-join (brute variant for small corpora / oracle use).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ANN_BITS = 12
+ANN_SEED = 1234
+
+
+def dot_expr(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_expr(a: Column | str, b: Column | str) -> Column:
+    return (dot_expr(a, b) / (norm_expr(a) * norm_expr(b))).cast("double")
+
+
+COSINE_SQL = "list_cosine_similarity({a}, {b})"
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query. The query side is broadcast — the
+    corpus is never shuffled, each task scores its own partition slice
+    (at 10^12 rows this is one scan + a tiny per-query heap via the rank
+    window on corpus_partitions x queries rows)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine_expr(vec_col, "_qvec").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int = ANN_BITS, seed: int = ANN_SEED) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((dim, bits)).astype(np.float32)
+
+
+def sign_bucket_udf(dim: int, bits: int = ANN_BITS, seed: int = ANN_SEED):
+    """Vectorized pandas UDF: embedding -> LSH bucket id (sign bits of the
+    hyperplane projections). One numpy matmul per Arrow batch."""
+    planes = _hyperplanes(dim, bits, seed)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @F.pandas_udf(T.LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy())  # [n, dim]
+        signs = (mat @ planes) > 0  # [n, bits]
+        return pd.Series(signs @ weights)
+
+    return bucket
+
+
+def with_ann_bucket(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    bits: int = ANN_BITS,
+    seed: int = ANN_SEED,
+    col_name: str = "bucket",
+) -> DataFrame:
+    return df.withColumn(col_name, sign_bucket_udf(dim, bits, seed)(F.col(vec_col)))
+
+
+def _hamming1_neighbors(bucket_col: Column, bits: int) -> Column:
+    """Array of the bucket id + its ``bits`` hamming-1 neighbors
+    (multi-probe LSH: recovers most near-misses without extra tables)."""
+    return F.array(bucket_col, *[bucket_col.bitwiseXOR(F.lit(1 << b)) for b in range(bits)])
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = ANN_BITS,
+    seed: int = ANN_SEED,
+) -> DataFrame:
+    """Approximate top-k: bucket both sides, probe query bucket + hamming-1
+    neighbors, exact cosine only on candidates. Corpus side shuffles once
+    on bucket; candidate count per query ~ corpus / 2^bits x (bits+1)."""
+    c = with_ann_bucket(corpus, dim, vec_col, bits, seed)
+    q = with_ann_bucket(queries, dim, vec_col, bits, seed).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(_hamming1_neighbors(F.col("bucket"), bits)).alias("bucket"),
+    )
+    cand = c.join(F.broadcast(q), "bucket").select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine_expr(vec_col, "_qvec").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lsh",
+    bits: int = ANN_BITS,
+    seed: int = ANN_SEED,
+) -> DataFrame:
+    """Pairs with cosine >= threshold. 'lsh': same-bucket self-join (near-
+    identical vectors collide with high probability at high thresholds);
+    'brute': full cross-join — O(n^2), only for small corpora / oracles."""
+    if method == "brute":
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        return (
+            pairs.withColumn("cosine", cosine_expr("va", "vb"))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+        )
+    c = with_ann_bucket(df, dim, vec_col, bits, seed)
+    a = c.select("bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = c.select("bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr("va", "vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .distinct()
+    )

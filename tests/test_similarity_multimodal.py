@@ -1,0 +1,134 @@
+"""ANN / cosine similarity + multimodal plumbing tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from np_data_validation_spark.operators import multimodal as MM
+from np_data_validation_spark.operators import similarity as SIM
+
+SF_DIR = "/root/testdata/sf0.001"
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_cosine_expr(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([1.0, 2.0], [2.0, 4.0])],
+        "a array<double>, b array<double>",
+    )
+    got = [r[0] for r in df.select(SIM.cosine_expr("a", "b")).collect()]
+    assert got[0] == pytest.approx(1.0)
+    assert got[1] == pytest.approx(0.0)
+    assert got[2] == pytest.approx(1.0)
+
+
+def test_brute_force_topk(emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = SIM.brute_force_topk(emb, queries, k=5).toPandas()
+    assert set(out["query_id"]) == {0, 1, 2}
+    for q in (0, 1, 2):
+        sub = out[out["query_id"] == q].sort_values("rank")
+        assert list(sub["rank"]) == [1, 2, 3, 4, 5]
+        assert sub["cosine"].is_monotonic_decreasing
+        assert q not in set(sub["neighbor_id"])
+
+
+def test_lsh_topk_recovers_planted_neighbors(spark, emb):
+    """Hyperplane LSH only guarantees recall for genuinely close vectors
+    (the sf embeddings are near-random: true top-1 cosine ~0.35, so exact-
+    vs-approx agreement there is meaningless). Plant noisy copies at
+    cosine ~0.99 and require LSH to return them as top-1."""
+    import pandas as pd
+
+    base = emb.filter(F.col("vec_id") < 10).toPandas()
+    rng = np.random.default_rng(3)
+    noisy = []
+    for _, r in base.iterrows():
+        v = np.array(r["embedding"], dtype=np.float32)
+        v = v + rng.standard_normal(DIM).astype(np.float32) * 0.02 * np.abs(v).mean()
+        noisy.append((int(r["vec_id"]) + 50000, v.tolist(), 0))
+    aug = emb.unionByName(
+        spark.createDataFrame(
+            pd.DataFrame(noisy, columns=["vec_id", "embedding", "label"]),
+            "vec_id long, embedding array<float>, label int",
+        )
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = SIM.lsh_topk(aug, queries, dim=DIM, k=1, bits=8).toPandas()
+    top1 = dict(zip(approx["query_id"], approx["neighbor_id"]))
+    hits = sum(1 for q in range(10) if top1.get(q) == q + 50000)
+    assert hits >= 8, f"planted-neighbor recall {hits}/10"
+    # structural: every query answered, ranks valid
+    assert set(approx["query_id"]) == set(range(10))
+    assert (approx["rank"] == 1).all()
+
+
+def test_embedding_near_dups(spark, emb):
+    # plant two exact duplicates and one noisy copy
+    dup = emb.filter(F.col("vec_id").isin([0, 1])).withColumn(
+        "vec_id", F.col("vec_id") + 10000
+    )
+    aug = emb.unionByName(dup)
+    brute = SIM.embedding_near_dups(aug, dim=DIM, threshold=0.999, method="brute").toPandas()
+    pairs = set(zip(brute["id_a"], brute["id_b"]))
+    assert (0, 10000) in pairs and (1, 10001) in pairs
+    lsh = SIM.embedding_near_dups(aug, dim=DIM, threshold=0.999, method="lsh").toPandas()
+    lsh_pairs = set(zip(lsh["id_a"], lsh["id_b"]))
+    assert (0, 10000) in lsh_pairs and (1, 10001) in lsh_pairs
+    # lsh candidates are a subset of brute-force truth
+    assert lsh_pairs <= pairs
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(6):
+        w, h = 16, 12
+        px = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+        rows.append((f"img_{i}", "image/fake", bytearray(MM.encode_image(w, h, px)), {"w": str(w)}))
+    for i in range(4):
+        samples = (np.sin(np.arange(1000) * (0.01 * (i + 1))) * 1000).astype("<i2")
+        rows.append((f"aud_{i}", "audio/fake", bytearray(MM.encode_audio(16000, samples)), {}))
+    for i in range(2):
+        frames = [rng.integers(0, 256, size=(8, 8)).astype(np.uint8) for _ in range(6)]
+        rows.append((f"vid_{i}", "video/fake", bytearray(MM.encode_video(frames)), {}))
+    return spark.createDataFrame(rows, MM.ASSET_SCHEMA)
+
+
+def test_image_features(assets):
+    out = MM.image_features(assets).toPandas().set_index("asset_id")
+    assert len(out) == 6
+    assert (out["width"] == 16).all() and (out["height"] == 12).all()
+    assert out["mean_intensity"].between(0, 255).all()
+    assert out["thumb"].map(len).eq(16).all()
+
+
+def test_audio_features(assets):
+    out = MM.audio_features(assets).toPandas()
+    assert len(out) == 4
+    assert (out["sample_rate"] == 16000).all()
+    assert (out["n_samples"] == 1000).all()
+    assert (out["rms"] > 0).all()
+
+
+def test_frame_sampling(assets):
+    out = MM.sample_frames(assets, every_k=2).toPandas()
+    # 2 videos x frames 0,2,4
+    assert len(out) == 6
+    assert set(out["frame_idx"]) == {0, 2, 4}
+    # sampled frames decode as images
+    assert all(bytes(b[:4]) == b"IMG1" for b in out["frame"])
+
+
+def test_decode_stub_raises_on_real_formats(assets, spark):
+    df = spark.createDataFrame(
+        [("x", "image/png", bytearray(b"\x89PNG\r\n"), {})], MM.ASSET_SCHEMA
+    )
+    with pytest.raises(Exception, match="NotImplementedError|real image codecs"):
+        MM.image_features(df).collect()
