@@ -1,0 +1,131 @@
+"""Scaling-efficiency evidence for BASELINE.json's north rule.
+
+The rule's two-cluster-size criterion (>=0.8 efficiency from N to 4N
+executors) cannot use a real cluster in this sandbox; per SURVEY.md §6 the
+evidence is the SAME job on the SAME input at local[8] (N) and local[32]
+(4N), reporting throughput at both plus
+    eff = rows_per_sec(4N) / (4 * rows_per_sec(N)).
+
+Each parallelism level runs in a fresh subprocess (Spark fixes master/conf
+at the first getOrCreate per JVM). Results land in BENCH/BASELINE.md.
+
+Usage:  python BENCH/scaling.py [--n 8 --xn 32 --runs 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+WORKER = """
+import json, os, sys
+sys.path.insert(0, {repo!r})
+from np_data_validation_spark import benchlib
+from np_data_validation_spark.session import get_spark
+cpus = int(sys.argv[1])
+# identical shuffle/AQE geometry at BOTH levels so only the core count
+# varies: fixed 128 shuffle partitions, 8 MiB AQE target (the default 64 MiB
+# advisory would coalesce this bench's ~0.5 GiB shuffles to <8 partitions,
+# capping parallelism below the core count at either level).
+spark = get_spark(app_name=f"npdv-scaling-{{cpus}}", cpus=cpus,
+                  shuffle_partitions=64,
+                  extra_conf={{
+                      "spark.sql.files.maxPartitionBytes": "8m",
+                      "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+                  }})
+spark.range(1000).count()  # JVM warmup
+root = benchlib.ensure_bench_data()
+results = []
+for _ in range(int(sys.argv[2])):
+    results.append(benchlib.run_validation_job(spark, root))
+    spark.catalog.clearCache()  # plan-matched cache reuse would fake repeat runs
+best = max(results, key=lambda r: r["rows_per_sec"])
+print("RESULT " + json.dumps(best))
+spark.stop()
+"""
+
+
+def run_level(cpus: int, runs: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER.format(repo=REPO), str(cpus), str(runs)],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        env={**os.environ},
+        timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"worker failed (cpus={cpus}):\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--xn", type=int, default=32)
+    ap.add_argument("--runs", type=int, default=4)
+    ap.add_argument("--rows", type=int, default=16_000_000)
+    args = ap.parse_args()
+    # bigger input than bench.py's default so the scalable phase dominates
+    # fixed per-job overheads at the high parallelism level
+    os.environ.setdefault("NPDV_BENCH_ROWS", str(args.rows))
+
+    from np_data_validation_spark import benchlib
+
+    print(f"preparing bench data ({benchlib.BENCH_ROWS} rows)...", file=sys.stderr)
+    benchlib.ensure_bench_data()
+
+    lo = run_level(args.n, args.runs)
+    hi = run_level(args.xn, args.runs)
+    eff = hi["rows_per_sec"] / (args.xn / args.n * lo["rows_per_sec"])
+
+    result = {
+        "rows": lo["rows"],
+        f"local[{args.n}]_sec": round(lo["sec"], 2),
+        f"local[{args.n}]_rows_per_sec": round(lo["rows_per_sec"], 1),
+        f"local[{args.xn}]_sec": round(hi["sec"], 2),
+        f"local[{args.xn}]_rows_per_sec": round(hi["rows_per_sec"], 1),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(result))
+
+    md = f"""# BENCH/BASELINE.md — measured scaling evidence
+
+Metric (BASELINE.json): validated sequences/sec (full constraint pass:
+xxhash64 pandas-UDF fingerprint -> manifest join + content probe -> verdict
+CASE -> per-subject rollup + violations + per-partition stats), identical
+deterministic synthetic input at the input_hint schema, two parallelism
+levels standing in for N and 4N executors.
+
+| config | rows | wall sec | validated seq/sec |
+|---|---|---|---|
+| local[{args.n}] (N) | {lo['rows']:,} | {lo['sec']:.2f} | {lo['rows_per_sec']:,.0f} |
+| local[{args.xn}] (4N) | {hi['rows']:,} | {hi['sec']:.2f} | {hi['rows_per_sec']:,.0f} |
+
+**Scaling efficiency** = {hi['rows_per_sec']:,.0f} / ({args.xn // args.n} x {lo['rows_per_sec']:,.0f})
+= **{eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+
+Input: {lo['rows']:,} sequences, token lengths {benchlib.BENCH_MIN_LEN}-{benchlib.BENCH_MAX_LEN},
+seeded fault injection (every verdict class present), hive-partitioned
+parquet with one file per (source, chunk) so both levels have enough input
+splits; `spark.sql.files.maxPartitionBytes=8m`.
+
+Reproduce: `python BENCH/scaling.py --n {args.n} --xn {args.xn} --runs {args.runs}`
+(best-of-{args.runs} per level; bench data cached under /tmp).
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print("wrote BENCH/BASELINE.md", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

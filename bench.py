@@ -1,0 +1,81 @@
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the full-constraint
+validation pass on the synthetic input_hint table.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: headline operator queries (from the driver-contract suite)
+HEADLINE = [
+    "flagship_verdict_counts",
+    "j10_multiway_join",
+    "j4_semi_join_valid",
+    "a4_rollup_stats",
+    "w1_latest_per_key",
+    "tx_quality_scores",
+    "dd_exact_dup_groups",
+    "dd_simhash_values",
+    "sim_cosine_topk",
+    "udf_xxhash_tokens",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+
+    from np_data_validation_spark import benchlib
+    from np_data_validation_spark import queries as Q
+    from np_data_validation_spark.session import get_spark
+
+    spark = get_spark(app_name="npdv-bench", cpus=cpus)
+    qs = Q.queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM/codegen once with a trivial action
+    spark.range(1000).count()
+
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    # the BASELINE.json headline: full constraint pass on the synthetic
+    # tokenized-sequence table (input_hint schema)
+    data_root = benchlib.ensure_bench_data()
+    job = benchlib.run_validation_job(spark, data_root)
+    timings["validate_full_pass"] = round(job["sec"], 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "validated_rows": job["rows"],
+                "validated_seq_per_sec": round(job["rows_per_sec"], 1),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

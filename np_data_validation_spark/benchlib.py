@@ -1,0 +1,136 @@
+"""Shared benchmark plumbing: cached synthetic dataset + the timed
+full-constraint validation job (the BASELINE.json headline metric).
+
+The bench dataset is generated once per parameter set into /tmp and reused
+across runs and parallelism levels, so local[8] vs local[32] time the SAME
+bytes (scaling-efficiency evidence requires identical input).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import SparkSession
+
+BENCH_ROWS = int(os.environ.get("NPDV_BENCH_ROWS", "8000000"))
+BENCH_MIN_LEN = 8
+BENCH_MAX_LEN = 64
+BENCH_SEED = 42
+BENCH_DATA_VERSION = "v3"
+
+
+def bench_data_dir() -> str:
+    tag = f"{BENCH_DATA_VERSION}_{BENCH_ROWS}_{BENCH_MIN_LEN}_{BENCH_MAX_LEN}_{BENCH_SEED}"
+    return os.path.join("/tmp", f"npdv_bench_{tag}")
+
+
+def ensure_bench_data() -> str:
+    """Generate (once) the deterministic snapshot+manifest at input_hint
+    schema. Chunked generation keeps peak memory bounded."""
+    root = bench_data_dir()
+    marker = os.path.join(root, "_COMPLETE")
+    if os.path.exists(marker):
+        return root
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from np_data_validation_spark import synth
+
+    os.makedirs(root, exist_ok=True)
+    chunk = 1_000_000
+    n_chunks = (BENCH_ROWS + chunk - 1) // chunk
+    for part in ("sequences", "manifest"):
+        os.makedirs(os.path.join(root, part), exist_ok=True)
+    for ci in range(n_chunks):
+        n = min(chunk, BENCH_ROWS - ci * chunk)
+        seq, man, _ = synth.generate(
+            n_rows=n,
+            seed=BENCH_SEED + ci,
+            min_len=BENCH_MIN_LEN,
+            max_len=BENCH_MAX_LEN,
+            id_offset=ci * chunk,
+        )
+        # one file pair per chunk per source -> plenty of input splits
+        for tbl, part in ((seq, "sequences"), (man, "manifest")):
+            col = tbl.column("source").to_numpy(zero_copy_only=False)
+            for val in np.unique(col):
+                import pyarrow as pa
+
+                sub = tbl.filter(pa.array(col == val)).drop_columns(["source"])
+                pdir = os.path.join(root, part, f"source={val}")
+                os.makedirs(pdir, exist_ok=True)
+                # small row groups -> file splitting works at high parallelism
+                pq.write_table(sub, os.path.join(pdir, f"chunk-{ci}.parquet"), row_group_size=131072)
+    with open(marker, "w") as f:
+        json.dump({"rows": BENCH_ROWS}, f)
+    return root
+
+
+def run_validation_job(
+    spark: SparkSession, data_root: str, hash_method: str = "pandas_udf"
+) -> dict:
+    """One full constraint pass (the metric's 'validated sequences/sec'):
+    fingerprint -> manifest join + probe -> verdict CASE -> rollup +
+    violations + per-partition stats, all materialized. Returns timing."""
+    from pyspark.sql import functions as F
+
+    from np_data_validation_spark.operators import stats as S
+    from np_data_validation_spark.plans.engine import validate_batch
+
+    snapshot = spark.read.parquet(os.path.join(data_root, "sequences"))
+    manifest = spark.read.parquet(os.path.join(data_root, "manifest"))
+
+    import shutil
+    import tempfile
+
+    from np_data_validation_spark.operators import constraints as C
+    from np_data_validation_spark.operators import verdicts as V
+    from np_data_validation_spark.functions.hashing import with_tok_hash
+
+    out = tempfile.mkdtemp(prefix="npdv_job_")
+    t0 = time.time()
+    phases = {}
+    # write-once-derive: the classified pair table is materialized to parquet
+    # in ONE pass (scan -> UDF hash -> join + probe -> CASE); rollup and
+    # violation extraction then re-read the (much smaller, columnar) pair
+    # table instead of recomputing the join — the scale-correct shape for a
+    # multi-output job (in-memory persist serializes on the block store).
+    snap = with_tok_hash(snapshot, method=hash_method).select(
+        "doc_id", "source", "n_tok", "tok_hash"
+    )
+    t = time.time()
+    V.classify_pairs(snap, manifest, persist=False).write.mode("overwrite").parquet(
+        f"{out}/pairs"
+    )
+    phases["pairs_write"] = round(time.time() - t, 2)
+    pairs = spark.read.parquet(f"{out}/pairs")
+    t = time.time()
+    n_rows = V.rollup_verdicts(pairs).count()
+    phases["rollup"] = round(time.time() - t, 2)
+    t = time.time()
+    # uniqueness runs on a column-pruned rescan (no tokens, no UDF)
+    n_viol = (
+        V.extract_violations(pairs)
+        .unionByName(
+            C.uniqueness_violations(snapshot.select("doc_id", "source", "n_tok"))
+        )
+        .unionByName(C.schema_violations(snapshot))
+        .count()
+    )
+    phases["violations"] = round(time.time() - t, 2)
+    t = time.time()
+    stats_rows = S.partition_stats(snapshot).count()
+    phases["stats"] = round(time.time() - t, 2)
+    dt = time.time() - t0
+    shutil.rmtree(out, ignore_errors=True)
+    return {
+        "rows": n_rows,
+        "violations": n_viol,
+        "stats_rows": stats_rows,
+        "sec": dt,
+        "rows_per_sec": n_rows / dt,
+        "hash_method": hash_method,
+        "phases": phases,
+    }

@@ -41,9 +41,12 @@ def uniqueness_violations(snapshot: DataFrame) -> DataFrame:
     big join uses. Deterministic tiebreak on (tok_hash, n_tok) — no
     wall-clock — so resumed runs flag identical rows.
     """
-    w = Window.partitionBy("doc_id", "source").orderBy(
-        F.col("tok_hash").asc_nulls_last(), F.col("n_tok").asc_nulls_last()
-    )
+    order_cols = [
+        F.col(c).asc_nulls_last()
+        for c in ("tok_hash", "n_tok")
+        if c in snapshot.columns
+    ]
+    w = Window.partitionBy("doc_id", "source").orderBy(*order_cols)
     return _as_violation(
         snapshot.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") > 1)

@@ -163,6 +163,7 @@ def classify_pairs(
     join_strategy: str = "auto",
     manifest_rows: int | None = None,
     probe_renamed: bool = True,
+    persist: bool = False,
 ) -> DataFrame:
     """snapshot x manifest -> one row per (subject, counterpart) pair with
     ``verdict_code`` + ``verdict``.
@@ -196,6 +197,13 @@ def classify_pairs(
         strategy=join_strategy,
         right_rows=manifest_rows,
     )
+    if persist:
+        # the stage-1 join feeds both the matched branch and the probe
+        # branch (and, downstream, both the rollup and the violation
+        # extraction) — persist it so the big join runs once per batch.
+        # At 10^12-row scale prefer writing the pair table once and
+        # deriving both outputs from the written files instead.
+        pairs = pairs.persist()
 
     if probe_renamed:
         matched = pairs.filter(F.col("m_doc_id").isNotNull())

@@ -75,12 +75,29 @@ def validate_batch(
     hash_method: str = "pandas_udf",
     join_strategy: str = "auto",
     manifest_rows: int | None = None,
+    persist: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """The core declarative plan: (rolled verdicts, violations, pairs)."""
-    snap = with_tok_hash(snapshot, method=hash_method)
-    pairs = V.classify_pairs(
-        snap, manifest, join_strategy=join_strategy, manifest_rows=manifest_rows
+    """The core declarative plan: (rolled verdicts, violations, pairs).
+
+    ``persist=True`` caches the hashed (tokens dropped) snapshot and the
+    classified pair table, since rollup, violation extraction and the probe
+    branch all consume them — without it the expensive hash+join subtree
+    executes once per output action.
+    """
+    snap = with_tok_hash(snapshot, method=hash_method).select(
+        "doc_id", "source", "n_tok", "tok_hash"
     )
+    if persist:
+        snap = snap.persist()
+    pairs = V.classify_pairs(
+        snap,
+        manifest,
+        join_strategy=join_strategy,
+        manifest_rows=manifest_rows,
+        persist=persist,
+    )
+    if persist:
+        pairs = pairs.persist()
     rolled = V.rollup_verdicts(pairs)
     # batch-scoped violations only: verdict-derived + uniqueness + schema all
     # partition cleanly by the snapshot's source. Manifest-side checks

@@ -1,0 +1,874 @@
+"""Driver-contract query suite: one entry per SURVEY.md §2 operator family,
+each as (a) an idiomatic DataFrame-API query over the testdata tables and
+(b) an exactly-equivalent DuckDB SQL oracle.
+
+Parity rules that keep value-hash comparison honest:
+* every computed column is aliased identically on both sides;
+* float outputs are integer-ized with floor(x * 1e6) (no float hashing);
+* money aggregations run on integer cents (exact, order-independent);
+* the md5-derived 60-bit portable hash is bit-identical in both engines.
+
+The verdict flagship derives a (snapshot, manifest) pair from ``documents``
+with deterministic SQL-expressible mutations, so the reference's verdict
+semantics (/root/reference/data_validation.py:547-628) are value-checked
+end-to-end against DuckDB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from np_data_validation_spark.functions import text as TX
+from np_data_validation_spark.operators import dedup as DD
+from np_data_validation_spark.operators import similarity as SIM
+from np_data_validation_spark.operators import verdicts as V
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _i6(col):  # float -> stable integer (1e-6 grain)
+    return F.floor(col * 1_000_000).cast("long")
+
+
+I6 = "CAST(floor(({x}) * 1000000) AS BIGINT)"
+
+CENTS = "CAST(round({x} * 100) AS BIGINT)"
+
+
+def _cents(col):
+    return F.round(col * 100).cast("long")
+
+
+# --- snapshot/manifest derivation for the verdict flagship ----------------
+# snapshot: every document; fp = portable 60-bit hash of raw text
+# manifest mutations (deterministic; doc_id arithmetic):
+#   %13==0 dropped            -> MISSING_COUNTERPART
+#   %5 ==0 moved to 'backup'  -> path!= (copy family)
+#   %11==0 n+3                -> size mismatch
+#   %7 ==0 fp+1               -> hash mismatch
+
+
+def _snapshot(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("source").alias("source"),
+        F.col("n_chars").cast("int").alias("n_tok"),
+        TX.portable_hash60("text").alias("tok_hash"),
+    )
+
+
+def _manifest(docs: DataFrame) -> DataFrame:
+    return (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("backup"))
+            .otherwise(F.col("source"))
+            .alias("source"),
+            (
+                F.col("n_chars") + F.when(F.col("doc_id") % 11 == 0, 3).otherwise(0)
+            ).cast("int").alias("n_tok"),
+            (
+                TX.portable_hash60("text")
+                + F.when(F.col("doc_id") % 7 == 0, 1).otherwise(0)
+            ).alias("tok_hash"),
+        )
+    )
+
+
+SNAPSHOT_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) doc_id, source,
+       CAST(n_chars AS INT) n_tok,
+       {TX.portable_hash60_sql('text')} tok_hash
+FROM documents
+"""
+
+MANIFEST_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) doc_id,
+       CASE WHEN doc_id % 5 = 0 THEN 'backup' ELSE source END source,
+       CAST(n_chars + (CASE WHEN doc_id % 11 = 0 THEN 3 ELSE 0 END) AS INT) n_tok,
+       {TX.portable_hash60_sql('text')} + (CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) tok_hash
+FROM documents WHERE doc_id % 13 != 0
+"""
+
+#: SQL twin of operators.verdicts.classify_expr — same ordered CASE, same
+#: column naming (s = snapshot side, m_* = manifest side).
+VERDICT_CASE_SQL = """
+CASE
+  WHEN m_doc_id IS NULL AND m_tok_hash IS NULL AND m_n_tok IS NULL THEN 14
+  WHEN tok_hash IS NOT NULL AND m_tok_hash IS NOT NULL AND tok_hash = m_tok_hash
+       AND n_tok = m_n_tok AND doc_id = m_doc_id AND source = m_source THEN 5
+  WHEN n_tok = m_n_tok AND doc_id = m_doc_id AND source = m_source
+       AND tok_hash IS NULL AND m_tok_hash IS NOT NULL THEN 6
+  WHEN n_tok = m_n_tok AND doc_id = m_doc_id AND source = m_source
+       AND tok_hash IS NOT NULL AND m_tok_hash IS NULL THEN 7
+  WHEN tok_hash IS NOT NULL AND m_tok_hash IS NOT NULL AND tok_hash = m_tok_hash
+       AND n_tok = m_n_tok AND doc_id = m_doc_id AND NOT (source = m_source) THEN 21
+  WHEN tok_hash IS NOT NULL AND m_tok_hash IS NOT NULL AND tok_hash = m_tok_hash
+       AND n_tok = m_n_tok AND NOT (doc_id = m_doc_id) THEN 22
+  WHEN tok_hash IS NOT NULL AND m_tok_hash IS NOT NULL AND doc_id = m_doc_id
+       AND NOT (source = m_source) AND NOT (n_tok = m_n_tok)
+       AND NOT (tok_hash = m_tok_hash) THEN 11
+  WHEN tok_hash IS NOT NULL AND m_tok_hash IS NOT NULL AND doc_id = m_doc_id
+       AND NOT (source = m_source) AND NOT (n_tok = m_n_tok)
+       AND tok_hash = m_tok_hash THEN 12
+  WHEN tok_hash IS NOT NULL AND m_tok_hash IS NOT NULL AND doc_id = m_doc_id
+       AND NOT (source = m_source) AND n_tok = m_n_tok
+       AND NOT (tok_hash = m_tok_hash) THEN 13
+  WHEN tok_hash IS NOT NULL AND m_tok_hash IS NOT NULL AND tok_hash = m_tok_hash
+       AND NOT (n_tok = m_n_tok) AND NOT (doc_id = m_doc_id) THEN 10
+  WHEN tok_hash IS NOT NULL AND m_tok_hash IS NOT NULL
+       AND NOT (tok_hash = m_tok_hash) AND NOT (n_tok = m_n_tok)
+       AND NOT (doc_id = m_doc_id) THEN 0
+  ELSE -1
+END
+"""
+
+PAIRS_SQL = f"""
+WITH s AS ({SNAPSHOT_SQL}), m AS ({MANIFEST_SQL}),
+j AS (
+  SELECT s.doc_id, s.source, s.n_tok, s.tok_hash,
+         m.doc_id m_doc_id, m.source m_source, m.n_tok m_n_tok, m.tok_hash m_tok_hash
+  FROM s LEFT JOIN m ON s.doc_id = m.doc_id
+)
+SELECT j.*, {VERDICT_CASE_SQL} AS verdict_code FROM j
+"""
+
+
+def _pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    snap, man = _snapshot(docs), _manifest(docs)
+    m = man.select(
+        F.col("doc_id").alias("m_doc_id"),
+        F.col("source").alias("m_source"),
+        F.col("n_tok").alias("m_n_tok"),
+        F.col("tok_hash").alias("m_tok_hash"),
+    )
+    j = snap.join(m, snap.doc_id == m.m_doc_id, "left")
+    return j.withColumn("verdict_code", V.classify_expr())
+
+
+def _augmented_docs(docs: DataFrame) -> DataFrame:
+    """documents + near-dup copies (%20: 5-char prefix cut) + exact copies
+    (%50) — deterministic in both engines."""
+    near = (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.expr("substr(text, 6)"))
+    )
+    exact = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 200000
+    )
+    return docs.unionByName(near).unionByName(exact)
+
+
+AUG_DOCS_SQL = """
+SELECT * FROM documents
+UNION ALL
+SELECT doc_id + 100000 doc_id, substr(text, 6) AS "text", lang, source, n_chars
+FROM documents WHERE doc_id % 20 = 0
+UNION ALL
+SELECT doc_id + 200000 doc_id, text, lang, source, n_chars
+FROM documents WHERE doc_id % 50 = 0
+"""
+
+# NB: AUG_DOCS_SQL column order must match the parquet schema
+# (doc_id, text, lang, source, n_chars) — verified in tests.
+
+
+# ---------------------------------------------------------------------------
+# the query + oracle registry
+# ---------------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- flagship: J2 verdict classifier ---------------------------------------
+
+
+@q(
+    "flagship_verdict_counts",
+    f"SELECT verdict_code, count(*) AS n FROM ({PAIRS_SQL}) GROUP BY verdict_code",
+)
+def flagship_verdict_counts(spark, sf_dir):
+    """S1 scan -> P-projections -> J1 keyed join -> J2 CASE classifier ->
+    A3 group-by. The engine's flagship pipeline, value-checked vs DuckDB."""
+    return _pairs_df(spark, sf_dir).groupBy("verdict_code").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@q(
+    "j5_invalid_band_rows",
+    f"""SELECT doc_id, verdict_code FROM ({PAIRS_SQL})
+        WHERE verdict_code BETWEEN 10 AND 13""",
+)
+def j5_invalid_band_rows(spark, sf_dir):
+    """J5: invalid-copy band extraction (reference strategies.py:51-61)."""
+    p = _pairs_df(spark, sf_dir)
+    return p.filter(F.col("verdict_code").between(10, 13)).select(
+        "doc_id", "verdict_code"
+    )
+
+
+@q(
+    "j6_missing_anti_join",
+    f"""WITH s AS ({SNAPSHOT_SQL}), m AS ({MANIFEST_SQL})
+        SELECT s.doc_id FROM s ANTI JOIN m ON s.doc_id = m.doc_id""",
+)
+def j6_missing_anti_join(spark, sf_dir):
+    """J6: missing-counterpart anti-join."""
+    docs = _t(spark, sf_dir, "documents")
+    return _snapshot(docs).join(_manifest(docs), "doc_id", "left_anti").select("doc_id")
+
+
+@q(
+    "j7_size_prefilter_probe",
+    f"""WITH s AS ({SNAPSHOT_SQL}), m AS ({MANIFEST_SQL})
+        SELECT s.doc_id, CAST(s.tok_hash = m.tok_hash AS INT) AS hash_match
+        FROM s JOIN m ON s.n_tok = m.n_tok AND s.doc_id != m.doc_id""",
+)
+def j7_size_prefilter_probe(spark, sf_dir):
+    """J7: cheap size-equality prefilter join, then expensive hash compare
+    (reference data_validation.py:1256-1266)."""
+    docs = _t(spark, sf_dir, "documents")
+    s, m = _snapshot(docs), _manifest(docs)
+    m2 = m.select(
+        F.col("doc_id").alias("m_doc_id"),
+        F.col("n_tok").alias("m_n_tok"),
+        F.col("tok_hash").alias("m_tok_hash"),
+    )
+    return (
+        s.join(m2, (s.n_tok == m2.m_n_tok) & (s.doc_id != m2.m_doc_id))
+        .select(
+            "doc_id",
+            (F.col("tok_hash") == F.col("m_tok_hash")).cast("int").alias("hash_match"),
+        )
+    )
+
+
+@q(
+    "j8_exchange_coalesce",
+    f"""WITH s AS (SELECT doc_id, source, n_tok,
+                    CASE WHEN doc_id % 3 = 0 THEN NULL ELSE tok_hash END tok_hash
+                   FROM ({SNAPSHOT_SQL})),
+         m AS ({MANIFEST_SQL})
+        SELECT s.doc_id, coalesce(s.tok_hash, m.tok_hash) AS tok_hash
+        FROM s LEFT JOIN m ON s.doc_id = m.doc_id""",
+)
+def j8_exchange_coalesce(spark, sf_dir):
+    """J8: checksum-exchange join — reuse the manifest's hash when the
+    subject lacks one (reference strategies.py:73-92)."""
+    docs = _t(spark, sf_dir, "documents")
+    s = _snapshot(docs).withColumn(
+        "tok_hash",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(F.col("tok_hash")),
+    )
+    m = _manifest(docs).select(
+        F.col("doc_id").alias("m_doc_id"), F.col("tok_hash").alias("m_tok_hash")
+    )
+    return s.join(m, s.doc_id == m.m_doc_id, "left").select(
+        "doc_id", F.coalesce("tok_hash", "m_tok_hash").alias("tok_hash")
+    )
+
+
+# --- classic joins on the TPC-H-ish tables ---------------------------------
+
+
+@q(
+    "j1_keyed_lookup_join",
+    f"""SELECT c.c_mktsegment AS segment, count(*) AS n_orders,
+               CAST(sum({CENTS.format(x='o.o_totalprice')}) AS BIGINT) AS total_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment""",
+)
+def j1_keyed_lookup_join(spark, sf_dir):
+    """J1: keyed equi-join (broadcast dim) + aggregation on integer cents."""
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
+        )
+    )
+
+
+@q(
+    "j3_anti_join_new_only",
+    "SELECT c_custkey FROM customer ANTI JOIN orders ON c_custkey = o_custkey",
+)
+def j3_anti_join_new_only(spark, sf_dir):
+    """J3: dedup-on-insert anti-join (customers with no orders)."""
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@q(
+    "j4_semi_join_valid",
+    """SELECT o_orderkey FROM orders SEMI JOIN lineitem
+       ON o_orderkey = l_orderkey AND l_returnflag = 'R'""",
+)
+def j4_semi_join_valid(spark, sf_dir):
+    """J4: valid-copy semi-join (orders with >=1 returned lineitem)."""
+    o, l = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    return o.join(
+        l.filter(F.col("l_returnflag") == "R"),
+        o.o_orderkey == l.l_orderkey,
+        "left_semi",
+    ).select("o_orderkey")
+
+
+@q(
+    "j10_multiway_join",
+    f"""SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(sum({CENTS.format(x='l.l_extendedprice')}) AS BIGINT) AS price_cents,
+               count(*) AS n_items
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name""",
+)
+def j10_multiway_join(spark, sf_dir):
+    """J10: multi-way star join (fact -> dims), broadcast dims."""
+    l, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    c, n, r = (
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice"))).alias("price_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --- aggregations -----------------------------------------------------------
+
+
+@q(
+    "a1_partition_tally",
+    "SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY source",
+)
+def a1_partition_tally(spark, sf_dir):
+    """A1: per-partition bytes/count tally (reference clear() sums)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@q(
+    "a2_group_consistency",
+    f"""WITH m2 AS (
+          SELECT doc_id, tok_hash FROM ({MANIFEST_SQL})
+          UNION ALL
+          SELECT doc_id, tok_hash + 9 FROM ({MANIFEST_SQL}) WHERE doc_id % 19 = 0
+        )
+        SELECT doc_id, count(DISTINCT tok_hash) AS n_hashes
+        FROM m2 GROUP BY doc_id HAVING count(DISTINCT tok_hash) > 1""",
+)
+def a2_group_consistency(spark, sf_dir):
+    """A2: all-same-checksum consistency groups (injected conflicts)."""
+    man = _manifest(_t(spark, sf_dir, "documents")).select("doc_id", "tok_hash")
+    conflicted = man.filter(F.col("doc_id") % 19 == 0).withColumn(
+        "tok_hash", F.col("tok_hash") + 9
+    )
+    return (
+        man.unionByName(conflicted)
+        .groupBy("doc_id")
+        .agg(F.countDistinct("tok_hash").alias("n_hashes"))
+        .filter(F.col("n_hashes") > 1)
+    )
+
+
+@q(
+    "a4_rollup_stats",
+    f"""SELECT coalesce(source, '__all__') AS source, count(*) AS n_rows,
+               min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+               {I6.format(x='avg(n_chars)')} AS avg_chars_i6
+        FROM documents GROUP BY ROLLUP(source)""",
+)
+def a4_rollup_stats(spark, sf_dir):
+    """Stats rollup: per-source + global in one pass (grouping sets)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .rollup("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            _i6(F.avg("n_chars")).alias("avg_chars_i6"),
+        )
+        .withColumn("source", F.coalesce("source", F.lit("__all__")))
+        .select("source", "n_rows", "min_chars", "max_chars", "avg_chars_i6")
+    )
+
+
+@q(
+    "a5_histogram",
+    """SELECT CAST(floor(n_chars / 50) AS BIGINT) AS bucket, count(*) AS cnt
+       FROM documents GROUP BY bucket""",
+)
+def a5_histogram(spark, sf_dir):
+    """Fixed-width histogram (drift input; mergeable partials)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.floor(F.col("n_chars") / 50).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# --- windows ---------------------------------------------------------------
+
+
+@q(
+    "w1_latest_per_key",
+    """SELECT o_custkey, o_orderkey FROM (
+         SELECT o_custkey, o_orderkey,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+         FROM orders) WHERE rn = 1""",
+)
+def w1_latest_per_key(spark, sf_dir):
+    """W1: latest record per key (the reference's 'last match wins')."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey")
+    )
+
+
+@q(
+    "w2_dedup_representatives",
+    f"""WITH aug AS ({AUG_DOCS_SQL}),
+         fp AS (SELECT doc_id, {TX.portable_hash60_sql(TX.normalize_text_sql('text'))} fp FROM aug)
+        SELECT fp, min(doc_id) AS keeper, count(*) AS n_docs
+        FROM fp GROUP BY fp HAVING count(*) > 1""",
+)
+def w2_dedup_representatives(spark, sf_dir):
+    """W2/T1: duplicate-group reduction to one representative."""
+    aug = _augmented_docs(_t(spark, sf_dir, "documents"))
+    return (
+        aug.select("doc_id", TX.doc_fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@q(
+    "w3_running_total",
+    f"""SELECT o_custkey, o_orderkey,
+               CAST(sum({CENTS.format(x='o_totalprice')})
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+        FROM orders""",
+)
+def w3_running_total(spark, sf_dir):
+    """Frame-spec window: running spend per customer."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_cents(F.col("o_totalprice"))).over(w).alias("running_cents"),
+    )
+
+
+# --- sort / limit / set ops -------------------------------------------------
+
+
+@q(
+    "o1_global_topk",
+    f"""SELECT l_orderkey, l_linenumber, {CENTS.format(x='l_extendedprice')} AS price_cents
+        FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""",
+)
+def o1_global_topk(spark, sf_dir):
+    """O1-O3: global top-k with total tiebreak (deterministic)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(20)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            _cents(F.col("l_extendedprice")).alias("price_cents"),
+        )
+    )
+
+
+@q(
+    "t1_distinct",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def t1_distinct(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@q(
+    "t4_intersect_except",
+    """SELECT n_nationkey FROM
+       ((SELECT c_nationkey AS n_nationkey FROM customer
+         INTERSECT SELECT s_nationkey FROM supplier)
+        EXCEPT SELECT n_nationkey FROM nation WHERE n_regionkey = 0)""",
+)
+def t4_intersect_except(spark, sf_dir):
+    """T4: relational intersect/except."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n_nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n_nationkey"))
+    n0 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 0)
+        .select("n_nationkey")
+    )
+    return c.intersect(s).exceptAll(n0).distinct()
+
+
+# --- projections / filters / scalar functions -------------------------------
+
+
+@q(
+    "p1_regex_key_extract",
+    """SELECT CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) AS src_num,
+              count(*) AS n
+       FROM documents GROUP BY src_num""",
+)
+def p1_regex_key_extract(spark, sf_dir):
+    """P1: regex key extraction (the session-key parse)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.regexp_extract("source", "src([0-9]+)", 1).cast("int").alias("src_num")
+        )
+        .groupBy("src_num")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "p8_age_gate",
+    """SELECT event_type, count(*) AS n FROM events
+       WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY event_type""",
+)
+def p8_age_gate(spark, sf_dir):
+    """P8: age-gate filter on timestamps."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "f_string_funcs",
+    """SELECT upper(substr(c_name, 1, 4)) AS prefix,
+              count(*) AS n, CAST(sum(length(c_name)) AS BIGINT) AS total_len
+       FROM customer GROUP BY prefix""",
+)
+def f_string_funcs(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(
+            F.upper(F.substring("c_name", 1, 4)).alias("prefix"),
+            F.length("c_name").alias("_len"),
+        )
+        .groupBy("prefix")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_len").alias("total_len"))
+    )
+
+
+@q(
+    "f_date_funcs",
+    """SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, count(*) AS n
+       FROM orders WHERE o_orderdate >= TIMESTAMP '2024-01-10 00:00:00'
+       GROUP BY day""",
+)
+def f_date_funcs(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        .select(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "f_json_extract",
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod, count(*) AS n
+       FROM events GROUP BY k_mod""",
+)
+def f_json_extract(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_mod")
+        )
+        .groupBy("k_mod")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- text analysis ----------------------------------------------------------
+
+
+@q(
+    "tx_token_counts",
+    f"""SELECT doc_id, {TX.ws_token_count_sql('text')} AS ws_tokens,
+               {TX.regex_token_count_sql('text')} AS re_tokens
+        FROM documents""",
+)
+def tx_token_counts(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        TX.ws_token_count("text").alias("ws_tokens"),
+        TX.regex_token_count("text").alias("re_tokens"),
+    )
+
+
+@q(
+    "tx_quality_scores",
+    f"""SELECT source, {I6.format(x=f'avg({TX.quality_score_sql("text")})')} AS avg_quality_i6,
+               count(*) AS n
+        FROM documents GROUP BY source""",
+)
+def tx_quality_scores(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            _i6(F.avg(TX.quality_score("text"))).alias("avg_quality_i6"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@q(
+    "tx_langid_confusion",
+    f"""SELECT lang, {TX.lang_id_sql('text')} AS predicted, count(*) AS n
+        FROM documents GROUP BY lang, predicted""",
+)
+def tx_langid_confusion(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang", TX.lang_id("text").alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "tx_fingerprints",
+    f"SELECT doc_id, {TX.doc_fingerprint_sql('text')} AS fp FROM documents",
+)
+def tx_fingerprints(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", TX.doc_fingerprint("text").alias("fp")
+    )
+
+
+# --- dedup ------------------------------------------------------------------
+
+
+@q(
+    "dd_exact_dup_groups",
+    f"""WITH aug AS ({AUG_DOCS_SQL})
+        SELECT {TX.doc_fingerprint_sql('text')} AS fp, count(*) AS n_docs,
+               min(doc_id) AS first_doc
+        FROM aug GROUP BY fp HAVING count(*) > 1""",
+)
+def dd_exact_dup_groups(spark, sf_dir):
+    aug = _augmented_docs(_t(spark, sf_dir, "documents"))
+    return (
+        aug.select("doc_id", TX.doc_fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _minhash_bands_sql(k: int = DD.MINHASH_K, bands: int = DD.MINHASH_BANDS) -> str:
+    r = k // bands
+    mh_cols = ", ".join(
+        f"{DD.minhash_sql('text', i)} AS mh_{i}" for i in range(k)
+    )
+    band_rows = " UNION ALL ".join(
+        f"""SELECT doc_id, {b} AS band,
+            {TX.portable_hash60_sql(' || '.join([f"CAST(mh_{b * r + j} AS VARCHAR)" if j == 0 else f"',' || CAST(mh_{b * r + j} AS VARCHAR)" for j in range(r)]))} AS band_hash
+            FROM sig"""
+        for b in range(bands)
+    )
+    return f"WITH aug AS ({AUG_DOCS_SQL}), sig AS (SELECT doc_id, {mh_cols} FROM aug) {band_rows}"
+
+
+@q(
+    "dd_minhash_lsh_pairs",
+    f"""WITH bandsl AS ({_minhash_bands_sql()})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bandsl a JOIN bandsl b ON a.band = b.band AND a.band_hash = b.band_hash
+        WHERE a.doc_id < b.doc_id""",
+)
+def dd_minhash_lsh_pairs(spark, sf_dir):
+    aug = _augmented_docs(_t(spark, sf_dir, "documents"))
+    return DD.minhash_lsh_candidates(aug, max_bucket=None)
+
+
+@q(
+    "dd_simhash_values",
+    f"""WITH aug AS ({AUG_DOCS_SQL})
+        SELECT doc_id, {DD.simhash_sql('text')} AS simhash FROM aug""",
+)
+def dd_simhash_values(spark, sf_dir):
+    aug = _augmented_docs(_t(spark, sf_dir, "documents"))
+    return aug.select("doc_id", DD.simhash_expr("text").alias("simhash"))
+
+
+@q(
+    "dd_jaccard_verified",
+    f"""WITH aug AS ({AUG_DOCS_SQL}),
+         sh AS (SELECT doc_id, {DD.shingle_sql('text')} AS sh FROM aug),
+         bandsl AS ({_minhash_bands_sql()}),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bandsl a JOIN bandsl b
+                    ON a.band = b.band AND a.band_hash = b.band_hash
+                  WHERE a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               {I6.format(x="len(list_intersect(x.sh, y.sh)) * 1.0 / len(list_distinct(list_concat(x.sh, y.sh)))")} AS jaccard_i6
+        FROM cand JOIN sh x ON cand.doc_a = x.doc_id
+                  JOIN sh y ON cand.doc_b = y.doc_id
+        WHERE len(list_intersect(x.sh, y.sh)) * 1.0 / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.8""",
+)
+def dd_jaccard_verified(spark, sf_dir):
+    aug = _augmented_docs(_t(spark, sf_dir, "documents"))
+    cand = DD.minhash_lsh_candidates(aug, max_bucket=None)
+    out = DD.jaccard_pairs(aug, cand, threshold=0.8)
+    return out.select("doc_a", "doc_b", _i6(F.col("jaccard")).alias("jaccard_i6"))
+
+
+# --- similarity ---------------------------------------------------------------
+
+
+@q(
+    "sim_cosine_topk",
+    f"""WITH q AS (SELECT vec_id query_id, embedding qv FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, e.vec_id neighbor_id,
+                  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) cosine
+           FROM embeddings e, q WHERE e.vec_id != q.query_id)
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) rank
+          FROM scored) WHERE rank <= 3""",
+)
+def sim_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = SIM.brute_force_topk(emb, q, k=3)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+@q(
+    "sim_near_dup_pairs",
+    f"""WITH aug AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 50000, embedding FROM embeddings WHERE vec_id % 40 = 0)
+        SELECT a.vec_id id_a, b.vec_id id_b
+        FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.999""",
+)
+def sim_near_dup_pairs(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = emb.filter(F.col("vec_id") % 40 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 50000
+    )
+    aug = emb.unionByName(dup)
+    out = SIM.embedding_near_dups(
+        aug, dim=64, threshold=0.999, method="brute", id_col="vec_id"
+    )
+    return out.select(F.col("id_a"), F.col("id_b"))
+
+
+# --- non-SQL-expressible (rows-only checks) ----------------------------------
+
+
+@q("udf_xxhash_tokens")  # no oracle: pandas-UDF xxhash64 kernel
+def udf_xxhash_tokens(spark, sf_dir):
+    """The mandated pandas/Arrow UDF surface: synthesize int32 token arrays
+    from embeddings, fingerprint with the vectorized XXH64 kernel."""
+    from np_data_validation_spark.functions.hashing import tok_hash_udf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    toks = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: (x * 1000).cast("int")).alias("tokens"),
+    )
+    return toks.select("vec_id", tok_hash_udf(F.col("tokens")).alias("tok_hash"))
+
+
+@q("hll_distinct_sketch")  # no oracle: engine-specific sketch values
+def hll_distinct_sketch(spark, sf_dir):
+    """HLL sketch partial + treewise union merge (stats.py path)."""
+    from np_data_validation_spark.operators import stats as S
+
+    docs = _t(spark, sf_dir, "documents").withColumnRenamed("doc_id", "_id")
+    snap = docs.select(F.col("_id").cast("string").alias("doc_id"), "source")
+    return S.merge_sketches(S.doc_id_sketches(snap))
+
+
+@q("ann_lsh_topk")  # no oracle: seeded-hyperplane buckets are engine-side
+def ann_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return SIM.lsh_topk(emb, q, dim=64, k=3, bits=8).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)

@@ -52,6 +52,7 @@ def generate(
     max_len: int = 512,
     fault_weights: dict[str, float] | None = None,
     vocab: int = 50257,
+    id_offset: int = 0,
 ) -> tuple[pa.Table, pa.Table, pd.DataFrame]:
     """Return (sequences, manifest, labels).
 
@@ -69,7 +70,7 @@ def generate(
     src_idx = rng.choice(n_sources, size=n_rows, p=src_w)
     sources = np.array([f"src_{i:02d}" for i in range(n_sources)])[src_idx]
 
-    doc_ids = np.array([f"doc_{i:010d}" for i in range(n_rows)])
+    doc_ids = np.array([f"doc_{i:010d}" for i in range(id_offset, id_offset + n_rows)])
     lens = rng.integers(min_len, max_len + 1, size=n_rows).astype(np.int64)
     total = int(lens.sum())
     flat = rng.integers(0, vocab, size=total).astype(np.int32)
