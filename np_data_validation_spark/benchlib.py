@@ -92,31 +92,28 @@ def run_validation_job(
     out = tempfile.mkdtemp(prefix="npdv_job_")
     t0 = time.time()
     phases = {}
-    # write-once-derive: the classified pair table is materialized to parquet
-    # in ONE pass (scan -> UDF hash -> join + probe -> CASE); rollup and
-    # violation extraction then re-read the (much smaller, columnar) pair
-    # table instead of recomputing the join — the scale-correct shape for a
-    # multi-output job (in-memory persist serializes on the block store).
-    snap = with_tok_hash(snapshot, method=hash_method).select(
-        "doc_id", "source", "n_tok", "tok_hash"
-    )
+    # write-once-derive: one pass over the expensive subtree (scan -> UDF
+    # hash -> join -> CASE), content probe only on the written misses
     t = time.time()
-    V.classify_pairs(snap, manifest, persist=False).write.mode("overwrite").parquet(
-        f"{out}/pairs"
-    )
+    from np_data_validation_spark.plans.engine import materialize_pairs
+
+    pairs = materialize_pairs(spark, snapshot, manifest, out, hash_method=hash_method,
+                              probe_broadcast="force")
+    s1 = spark.read.parquet(f"{out}/pairs_stage1")
     phases["pairs_write"] = round(time.time() - t, 2)
-    pairs = spark.read.parquet(f"{out}/pairs")
     t = time.time()
     n_rows = V.rollup_verdicts(pairs).count()
     phases["rollup"] = round(time.time() - t, 2)
     t = time.time()
-    # uniqueness runs on a column-pruned rescan (no tokens, no UDF)
+    # schema checks read the written stage-1 table (no payload rescans);
+    # uniqueness needs true snapshot multiplicity -> cheap column-pruned
+    # scan of (doc_id, source, n_tok) only
     n_viol = (
         V.extract_violations(pairs)
         .unionByName(
             C.uniqueness_violations(snapshot.select("doc_id", "source", "n_tok"))
         )
-        .unionByName(C.schema_violations(snapshot))
+        .unionByName(C.schema_violations_slim(s1))
         .count()
     )
     phases["violations"] = round(time.time() - t, 2)

@@ -138,6 +138,60 @@ def _aligned_counts(
     return obs, exp
 
 
+def chi_square_statistic_df(
+    observed: DataFrame, expected: DataFrame, key: str = "bucket"
+) -> DataFrame:
+    """Fully-distributed chi-square statistic (no driver collect): merge
+    partial histograms, align buckets, one scalar agg. The DataFrame twin
+    of chi_square_drift for pipelines that keep everything in-plan."""
+    o = _merge_counts(observed, key).withColumnRenamed("cnt", "o_cnt")
+    e = _merge_counts(expected, key).withColumnRenamed("cnt", "e_cnt")
+    j = e.join(o, key, "left").select(
+        F.coalesce("o_cnt", F.lit(0)).cast("double").alias("o_cnt"),
+        F.col("e_cnt").cast("double").alias("e_cnt"),
+    )
+    totals = j.agg(
+        F.sum("o_cnt").alias("o_tot"), F.sum("e_cnt").alias("e_tot")
+    )
+    return (
+        j.crossJoin(F.broadcast(totals))
+        .select(
+            (
+                F.pow(F.col("o_cnt") - F.col("e_cnt") * (F.col("o_tot") / F.col("e_tot")), 2)
+                / (F.col("e_cnt") * (F.col("o_tot") / F.col("e_tot")))
+            ).alias("term")
+        )
+        .agg(F.sum("term").alias("chi2"))
+    )
+
+
+def ks_statistic_df(
+    observed: DataFrame, expected: DataFrame, key: str = "bucket"
+) -> DataFrame:
+    """Distributed KS statistic from histogram ECDFs (running-sum window
+    over the tiny merged bucket table)."""
+    from pyspark.sql import Window
+
+    o = _merge_counts(observed, key).withColumnRenamed("cnt", "o_cnt")
+    e = _merge_counts(expected, key).withColumnRenamed("cnt", "e_cnt")
+    j = e.join(o, key, "full_outer").select(
+        F.col(key),
+        F.coalesce("o_cnt", F.lit(0)).cast("double").alias("o_cnt"),
+        F.coalesce("e_cnt", F.lit(0)).cast("double").alias("e_cnt"),
+    )
+    w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totals = j.agg(F.sum("o_cnt").alias("o_tot"), F.sum("e_cnt").alias("e_tot"))
+    return (
+        j.withColumn("o_cum", F.sum("o_cnt").over(w))
+        .withColumn("e_cum", F.sum("e_cnt").over(w))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.abs(F.col("o_cum") / F.col("o_tot") - F.col("e_cum") / F.col("e_tot")).alias("d")
+        )
+        .agg(F.max("d").alias("ks"))
+    )
+
+
 def chi_square_drift(
     observed: DataFrame, expected: DataFrame, key: str = "bucket"
 ) -> DriftResult:

@@ -157,6 +157,105 @@ def _manifest_aliased(manifest: DataFrame) -> DataFrame:
     ).dropDuplicates(["m_doc_id", "m_source", "m_n_tok", "m_tok_hash"])
 
 
+def stage1_pairs(
+    snapshot: DataFrame,
+    manifest: DataFrame,
+    join_strategy: str = "auto",
+    manifest_rows: int | None = None,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Stage 1 only: keyed doc_id left join + ordered CASE verdicts (misses
+    classified MISSING_COUNTERPART). Single-pass; compose with
+    ``probe_pairs`` on the misses for renamed-copy/collision recovery.
+    ``extra_cols``: snapshot columns carried through unchanged (e.g. the
+    actual token count, so schema checks don't rescan the payload)."""
+    m = _manifest_aliased(manifest)
+    snap = snapshot.select("doc_id", "source", "n_tok", "tok_hash", *(extra_cols or []))
+    pairs = choose_join(
+        snap,
+        m,
+        on=[snap.doc_id == m.m_doc_id],
+        how="left",
+        strategy=join_strategy,
+        right_rows=manifest_rows,
+    )
+    out = pairs.withColumn("verdict_code", classify_expr())
+    return out.withColumn("verdict", verdict_name_expr())
+
+
+#: Below this many missed rows the probe broadcasts the missed side and
+#: streams the manifest (no manifest shuffle); above it, fall back to the
+#: shuffle join on tok_hash.
+PROBE_BROADCAST_MAX = 5_000_000
+
+
+def probe_pairs(
+    missed: DataFrame,
+    manifest: DataFrame,
+    join_strategy: str = "auto",
+    manifest_rows: int | None = None,
+    missed_rows: int | None = None,
+    include_unmatched: bool = True,
+) -> DataFrame:
+    """Stage 2: content probe of subjects with no doc_id counterpart —
+    equi-join on tok_hash, CASE decides VALID_COPY_RENAMED vs
+    CHECKSUM_COLLISION. ``missed`` needs (doc_id, source, n_tok, tok_hash).
+
+    Join direction matters at scale: the miss set is normally a tiny
+    fraction, so when ``missed_rows`` is known to be small the missed side
+    is broadcast and the manifest is ONLY scanned (no manifest-wide shuffle
+    on tok_hash — measured 2x the probe cost otherwise). With
+    ``include_unmatched=False`` only found pairs return (the caller keeps
+    stage-1 MISSING rows for the rest — plans.engine.materialize_pairs)."""
+    m = _manifest_aliased(manifest).filter(F.col("m_tok_hash").isNotNull())
+    snap = missed.select("doc_id", "source", "n_tok", "tok_hash")
+    withhash = snap.filter(F.col("tok_hash").isNotNull())
+
+    if missed_rows is not None and missed_rows <= PROBE_BROADCAST_MAX:
+        found = m.join(
+            F.broadcast(withhash),
+            F.col("tok_hash") == F.col("m_tok_hash"),
+            "inner",
+        ).select("doc_id", "source", "n_tok", "tok_hash",
+                 "m_doc_id", "m_source", "m_n_tok", "m_tok_hash")
+        probed = found
+        if include_unmatched:
+            unmatched = snap.join(
+                found.select("doc_id", "source").dropDuplicates(),
+                ["doc_id", "source"],
+                "left_anti",
+            )
+            probed = found.unionByName(_null_counterpart(unmatched))
+    else:
+        probed = choose_join(
+            withhash,
+            m,
+            on=[F.col("tok_hash") == F.col("m_tok_hash")],
+            how="inner" if not include_unmatched else "left",
+            strategy=join_strategy,
+            right_rows=manifest_rows,
+        )
+        if include_unmatched:
+            probed = probed.unionByName(
+                _null_counterpart(snap.filter(F.col("tok_hash").isNull()))
+            )
+    out = probed.withColumn("verdict_code", classify_expr())
+    return out.withColumn("verdict", verdict_name_expr())
+
+
+def _null_counterpart(snap: DataFrame) -> DataFrame:
+    return snap.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "tok_hash",
+        F.lit(None).cast("string").alias("m_doc_id"),
+        F.lit(None).cast("string").alias("m_source"),
+        F.lit(None).cast("int").alias("m_n_tok"),
+        F.lit(None).cast("long").alias("m_tok_hash"),
+    )
+
+
 def classify_pairs(
     snapshot: DataFrame,
     manifest: DataFrame,
@@ -186,54 +285,20 @@ def classify_pairs(
     manifest is small. Stage 2 runs only on stage-1 misses (normally a tiny
     fraction) so its extra shuffle on tok_hash is marginal.
     """
-    m = _manifest_aliased(manifest)
-    snap = snapshot.select("doc_id", "source", "n_tok", "tok_hash")
-
-    pairs = choose_join(
-        snap,
-        m,
-        on=[snap.doc_id == m.m_doc_id],
-        how="left",
-        strategy=join_strategy,
-        right_rows=manifest_rows,
-    )
+    s1 = stage1_pairs(snapshot, manifest, join_strategy, manifest_rows)
     if persist:
-        # the stage-1 join feeds both the matched branch and the probe
-        # branch (and, downstream, both the rollup and the violation
-        # extraction) — persist it so the big join runs once per batch.
-        # At 10^12-row scale prefer writing the pair table once and
-        # deriving both outputs from the written files instead.
-        pairs = pairs.persist()
-
-    if probe_renamed:
-        matched = pairs.filter(F.col("m_doc_id").isNotNull())
-        missed = pairs.filter(F.col("m_doc_id").isNull()).select(
-            "doc_id", "source", "n_tok", "tok_hash"
-        )
-        # content probe: hash join (selective) then classify; n_tok match
-        # decides renamed-copy vs collision inside the CASE.
-        probed = choose_join(
-            missed.filter(F.col("tok_hash").isNotNull()),
-            m.filter(F.col("m_tok_hash").isNotNull()),
-            on=[F.col("tok_hash") == F.col("m_tok_hash")],
-            how="left",
-            strategy=join_strategy,
-            right_rows=manifest_rows,
-        )
-        still_missing = missed.filter(F.col("tok_hash").isNull()).select(
-            "doc_id",
-            "source",
-            "n_tok",
-            "tok_hash",
-            F.lit(None).cast("string").alias("m_doc_id"),
-            F.lit(None).cast("string").alias("m_source"),
-            F.lit(None).cast("int").alias("m_n_tok"),
-            F.lit(None).cast("long").alias("m_tok_hash"),
-        )
-        pairs = matched.unionByName(probed).unionByName(still_missing)
-
-    out = pairs.withColumn("verdict_code", classify_expr())
-    return out.withColumn("verdict", verdict_name_expr())
+        # stage-1 feeds both the matched branch and the probe branch (and,
+        # downstream, both the rollup and the violation extraction) —
+        # persist so the big join runs once per action. At 10^12-row scale
+        # prefer plans.engine.materialize_pairs, which writes the pair
+        # table once and derives everything from the written files.
+        s1 = s1.persist()
+    if not probe_renamed:
+        return s1
+    matched = s1.filter(F.col("verdict_code") != MISSING_COUNTERPART)
+    missed = s1.filter(F.col("verdict_code") == MISSING_COUNTERPART)
+    probed = probe_pairs(missed, manifest, join_strategy, manifest_rows)
+    return matched.unionByName(probed)
 
 
 def rollup_verdicts(pairs: DataFrame) -> DataFrame:

@@ -110,6 +110,73 @@ def validate_batch(
     return rolled, violations, pairs
 
 
+def materialize_pairs(
+    spark,
+    snapshot: DataFrame,
+    manifest: DataFrame,
+    out_dir: str,
+    hash_method: str = "pandas_udf",
+    join_strategy: str = "auto",
+    probe_broadcast: str = "auto",
+) -> DataFrame:
+    """Write-once-derive: materialize the classified pair table to parquet
+    in exactly one pass over the expensive subtree (scan -> UDF hash ->
+    doc_id join -> CASE), then run the content probe on just the written
+    misses (normally a tiny fraction). Returns the final pair DataFrame
+    backed by the written files — rollup, violation extraction and any
+    other consumer reads columnar output instead of recomputing the join.
+
+    This is the scale-correct multi-output shape: an in-memory persist of
+    the pair table serializes on the block store, and recomputing the join
+    per consumer doubles the dominant cost (measured 2-3x on the bench).
+    """
+    from pyspark.sql import functions as F
+
+    snap = with_tok_hash(snapshot, method=hash_method).select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "tok_hash",
+        # actual payload length rides along so schema checks (n_tok ==
+        # size(tokens)) read the written pair table, not the raw payload
+        F.size("tokens").alias("n_tok_actual"),
+    )
+    s1_path = os.path.join(out_dir, "pairs_stage1")
+    V.stage1_pairs(
+        snap, manifest, join_strategy, extra_cols=["n_tok_actual"]
+    ).write.mode("overwrite").parquet(s1_path)
+    s1 = spark.read.parquet(s1_path)
+    missed = s1.filter(F.col("verdict_code") == V.MISSING_COUNTERPART)
+    if probe_broadcast == "force":
+        missed_rows = 0  # caller asserts the miss set is broadcastable
+    else:
+        missed_rows = missed.count()  # cheap columnar scan; picks the
+        # broadcast-missed probe when the miss set is small (the normal case)
+    found = V.probe_pairs(
+        missed,
+        manifest,
+        join_strategy,
+        missed_rows=missed_rows,
+        include_unmatched=False,
+    )
+    probe_path = os.path.join(out_dir, "pairs_probe")
+    found.write.mode("overwrite").parquet(probe_path)
+    found_r = spark.read.parquet(probe_path)
+    # rows the probe rescued keep their probe verdict; the rest keep their
+    # stage-1 MISSING_COUNTERPART row (anti-join against the tiny found set)
+    still_missing = missed.join(
+        found_r.select("doc_id", "source").dropDuplicates(),
+        ["doc_id", "source"],
+        "left_anti",
+    )
+    matched = s1.filter(F.col("verdict_code") != V.MISSING_COUNTERPART)
+    return (
+        matched.drop("n_tok_actual")
+        .unionByName(found_r)
+        .unionByName(still_missing.drop("n_tok_actual"))
+    )
+
+
 def manifest_audit(snapshot: DataFrame, manifest: DataFrame) -> DataFrame:
     """Whole-table manifest checks that don't partition by snapshot source:
     consistency (conflicting hashes per doc_id) and orphaned manifest

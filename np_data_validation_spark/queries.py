@@ -830,6 +830,94 @@ def sim_near_dup_pairs(spark, sf_dir):
     return out.select(F.col("id_a"), F.col("id_b"))
 
 
+# --- drift statistics (distributed, SQL-twinned) -----------------------------
+
+
+_HIST_SQL = "SELECT CAST(floor(n_chars / 50) AS BIGINT) AS bucket, count(*) AS cnt FROM documents{where} GROUP BY bucket"
+
+
+@q(
+    "drift_chi2_statistic",
+    f"""WITH obs AS ({_HIST_SQL.format(where=" WHERE source != 'src0'")}),
+         expd AS ({_HIST_SQL.format(where="")}),
+         tot AS (SELECT (SELECT CAST(sum(cnt) AS DOUBLE) FROM obs) o_tot,
+                        (SELECT CAST(sum(cnt) AS DOUBLE) FROM expd) e_tot),
+         j AS (SELECT CAST(coalesce(o.cnt, 0) AS DOUBLE) o_cnt, CAST(e.cnt AS DOUBLE) e_cnt
+               FROM expd e LEFT JOIN obs o ON e.bucket = o.bucket)
+        SELECT {I6.format(x='sum(pow(o_cnt - e_cnt * (SELECT o_tot / e_tot FROM tot), 2) / (e_cnt * (SELECT o_tot / e_tot FROM tot)))')} AS chi2_i6
+        FROM j""",
+)
+def drift_chi2_statistic(spark, sf_dir):
+    """Chi-square drift statistic, fully in-plan (treewise-merged partial
+    histograms -> aligned join -> one scalar agg)."""
+    from np_data_validation_spark.operators import drift as D
+    from np_data_validation_spark.operators import stats as S
+
+    docs = _t(spark, sf_dir, "documents").withColumnRenamed("n_chars", "n_tok")
+    obs = S.n_tok_histogram(docs.filter(F.col("source") != "src0"), group_col=None, bucket_width=50)
+    exp = S.n_tok_histogram(docs, group_col=None, bucket_width=50)
+    return D.chi_square_statistic_df(obs, exp).select(_i6(F.col("chi2")).alias("chi2_i6"))
+
+
+@q(
+    "drift_ks_statistic",
+    f"""WITH obs AS ({_HIST_SQL.format(where=" WHERE source != 'src0'")}),
+         expd AS ({_HIST_SQL.format(where="")}),
+         tot AS (SELECT (SELECT CAST(sum(cnt) AS DOUBLE) FROM obs) o_tot,
+                        (SELECT CAST(sum(cnt) AS DOUBLE) FROM expd) e_tot),
+         j AS (SELECT coalesce(e.bucket, o.bucket) bucket,
+                      CAST(coalesce(o.cnt, 0) AS DOUBLE) o_cnt,
+                      CAST(coalesce(e.cnt, 0) AS DOUBLE) e_cnt
+               FROM expd e FULL OUTER JOIN obs o ON e.bucket = o.bucket),
+         c AS (SELECT sum(o_cnt) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) o_cum,
+                      sum(e_cnt) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) e_cum
+               FROM j)
+        SELECT {I6.format(x='max(abs(o_cum / (SELECT o_tot FROM tot) - e_cum / (SELECT e_tot FROM tot)))')} AS ks_i6
+        FROM c""",
+)
+def drift_ks_statistic(spark, sf_dir):
+    """KS drift statistic from histogram ECDFs (running-sum window)."""
+    from np_data_validation_spark.operators import drift as D
+    from np_data_validation_spark.operators import stats as S
+
+    docs = _t(spark, sf_dir, "documents").withColumnRenamed("n_chars", "n_tok")
+    obs = S.n_tok_histogram(docs.filter(F.col("source") != "src0"), group_col=None, bucket_width=50)
+    exp = S.n_tok_histogram(docs, group_col=None, bucket_width=50)
+    return D.ks_statistic_df(obs, exp).select(_i6(F.col("ks")).alias("ks_i6"))
+
+
+# --- extra projections / set ops ---------------------------------------------
+
+
+@q(
+    "p3_basename_extract",
+    """SELECT doc_id,
+              list_extract(string_split('datalake/' || source || '/' || CAST(doc_id AS VARCHAR) || '.tok', '/'), 3) AS basename
+       FROM documents""",
+)
+def p3_basename_extract(spark, sf_dir):
+    """P3: basename projection via split + element_at (the reference's
+    os.path.basename, /root/reference/data_validation.py:473)."""
+    docs = _t(spark, sf_dir, "documents")
+    path = F.concat(F.lit("datalake/"), F.col("source"), F.lit("/"), F.col("doc_id").cast("string"), F.lit(".tok"))
+    return docs.select(
+        "doc_id", F.element_at(F.split(path, "/"), 3).alias("basename")
+    )
+
+
+@q(
+    "t2_union_distinct",
+    """SELECT n_nationkey FROM (
+         SELECT c_nationkey AS n_nationkey FROM customer
+         UNION SELECT s_nationkey FROM supplier)""",
+)
+def t2_union_distinct(spark, sf_dir):
+    """T2: union of key sets + distinct."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n_nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n_nationkey"))
+    return c.unionByName(s).distinct()
+
+
 # --- non-SQL-expressible (rows-only checks) ----------------------------------
 
 
