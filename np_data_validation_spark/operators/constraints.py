@@ -125,7 +125,10 @@ def schema_violations(snapshot: DataFrame) -> DataFrame:
     null_ntok = _as_violation(
         checks.filter(F.col("n_tok").isNull()), "NULL_N_TOK", ["actual_len"]
     )
-    return mismatch.unionByName(null_ntok)
+    null_docid = _as_violation(
+        checks.filter(F.col("doc_id").isNull()), "NULL_DOC_ID", ["n_tok", "actual_len"]
+    )
+    return mismatch.unionByName(null_ntok).unionByName(null_docid)
 
 
 def schema_violations_slim(

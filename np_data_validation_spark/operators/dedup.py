@@ -198,22 +198,40 @@ def jaccard_pairs(
 
 
 def simhash_expr(text_col: str = "text", bits: int = SIMHASH_BITS) -> Column:
-    """Sign-sum SimHash over word hashes — one array pass per bit, zero
-    shuffle (the fingerprint is a row-local expression)."""
+    """Sign-sum SimHash over word hashes — ONE pass over the word array,
+    zero shuffle (the fingerprint is a row-local expression).
+
+    All ``bits`` vote counters live in a single array<int> accumulator
+    updated per word via zip_with against a constant bit-mask array, so the
+    text is tokenized and hashed exactly once per row. (The naive
+    per-bit-loop formulation issues ``bits`` independent F.aggregate calls,
+    and Catalyst does not CSE across lambda boundaries — measured 32x the
+    expression work / ~10s extra on the sf0.1 bench.)
+    """
     words = F.regexp_extract_all(normalize_text(text_col), F.lit("[a-z0-9]+"), 0)
     hashes = F.transform(words, lambda w: portable_hash60(w))
-
-    def voter(b: int):
-        return lambda a, h: a + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    acc = None
-    for b in range(bits):
-        vote = F.aggregate(hashes, F.lit(0), voter(b))
-        bit = F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
-        acc = bit if acc is None else acc + bit
-    return acc
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    zero = F.array_repeat(F.lit(0), bits)
+    votes = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda v, m: v
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    # null text -> null hashes -> null votes; coalesce to the all-zero vote
+    # vector so the fingerprint is 0 (matches the DuckDB twin's coalesce).
+    votes = F.coalesce(votes, zero)
+    return F.aggregate(
+        F.zip_with(
+            votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
 
 
 def simhash_bands(

@@ -149,6 +149,110 @@ def lsh_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# Portable (oracle-checkable) hyperplane LSH
+# ---------------------------------------------------------------------------
+#
+# The production bucket kernel above draws hyperplanes from a seeded numpy
+# RNG inside a pandas UDF — fast (one matmul per Arrow batch) but not
+# reproducible in SQL. The portable variant derives each plane coefficient
+# from an md5 hash of (seed, dim_index, bit_index) and evaluates the
+# projection as a strictly left-to-right fold, so a DuckDB oracle computes
+# bit-identical buckets (same IEEE operation sequence). Same recall
+# characteristics (coefficients are iid symmetric around 0 — sign-projection
+# LSH only needs symmetry, cf. Charikar'02 / Achlioptas'01 ±1 projections).
+
+PORTABLE_BITS = 8
+
+
+def _portable_plane_values(dim: int, bits: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-hyperplanes in [-1, 1]: md5-derived, identical
+    constants on the Spark and SQL sides (embedded as literals in both)."""
+    import hashlib
+
+    out = [[0.0] * bits for _ in range(dim)]
+    for d in range(dim):
+        for b in range(bits):
+            digest = hashlib.md5(f"hp:{seed}:{d}:{b}".encode()).digest()
+            h = int.from_bytes(digest[:8], "big") >> 4  # 60-bit, sign-free
+            out[d][b] = ((h % 2001) - 1000) / 1000.0
+    return out
+
+
+def bucket_portable_expr(
+    vec_col: Column | str, dim: int, bits: int = PORTABLE_BITS, seed: int = ANN_SEED
+) -> Column:
+    """JVM-side LSH bucket id from the portable hyperplanes (codegen
+    expression; per-bit left-to-right fold over the embedding)."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    planes = _portable_plane_values(dim, bits, seed)
+    acc = None
+    for b in range(bits):
+        lits = F.array(*[F.lit(planes[d][b]) for d in range(dim)])
+        proj = F.aggregate(
+            F.zip_with(vec, lits, lambda x, p: x.cast("double") * p),
+            F.lit(0.0).cast("double"),
+            lambda a, v: a + v,
+        )
+        bit = F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+        acc = bit if acc is None else acc + bit
+    return acc
+
+
+def bucket_portable_sql(
+    vec_expr: str, dim: int, bits: int = PORTABLE_BITS, seed: int = ANN_SEED
+) -> str:
+    """DuckDB twin of bucket_portable_expr — identical literals, identical
+    left-to-right fold (list_reduce), identical sign rule."""
+    planes = _portable_plane_values(dim, bits, seed)
+    terms = []
+    for b in range(bits):
+        lst = "[" + ",".join(repr(planes[d][b]) for d in range(dim)) + "]"
+        proj = (
+            f"list_reduce(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST({vec_expr}[i] AS DOUBLE) * ({lst})[i]), (a, b) -> a + b)"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << b} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def lsh_topk_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = PORTABLE_BITS,
+    seed: int = ANN_SEED,
+) -> DataFrame:
+    """lsh_topk with the portable bucket expression — same plan shape
+    (bucket corpus once, multi-probe hamming-1, exact re-rank on candidates
+    only); DuckDB-twinnable end to end."""
+    bucket = lambda df: df.withColumn(  # noqa: E731
+        "bucket", bucket_portable_expr(vec_col, dim, bits, seed)
+    )
+    c = bucket(corpus)
+    q = bucket(queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(_hamming1_neighbors(F.col("bucket"), bits)).alias("bucket"),
+    )
+    cand = c.join(F.broadcast(q), "bucket").select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine_expr(vec_col, "_qvec").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     dim: int,

@@ -301,7 +301,7 @@ def classify_pairs(
     return matched.unionByName(probed)
 
 
-def rollup_verdicts(pairs: DataFrame) -> DataFrame:
+def rollup_verdicts(pairs: DataFrame, salt_buckets: int | None = None) -> DataFrame:
     """Per-subject rollup over its pair verdicts.
 
     ``final_verdict_code`` = max code — the threshold semantics make max
@@ -309,22 +309,91 @@ def rollup_verdicts(pairs: DataFrame) -> DataFrame:
     benign 0-7), matching the reference's "any hit >= VALID_COPY..."
     action gate (:1329) and "any invalid copy vetoes" rule
     (/root/reference/strategies.py:135-138).
+
+    ``salt_buckets``: explicit skew handling (north_rule) for pathological
+    hot keys — a doc_id with millions of manifest counterparts (the
+    reference's one-big-session pathology, /root/reference/
+    data_validation.py:1449-1455) funnels all its pair rows through one
+    reducer. With salting, the aggregation runs two-level: partials on
+    (key, salt) spread over ``salt_buckets`` reducers, then an exact merge
+    on the key (max-of-max / sum-of-count — all aggregates algebraic).
+    Output is identical either way (tests/test_skew.py).
     """
-    return (
-        pairs.groupBy("doc_id", "source")
-        .agg(
+    valid = (F.col("verdict_code") >= VALID_MIN) | (F.col("verdict_code") == SELF)
+    invalid = F.col("verdict_code").between(UNSYNCED_DATA, UNSYNCED_OR_CORRUPT_DATA)
+    missing = F.col("verdict_code") == MISSING_COUNTERPART
+    if salt_buckets:
+        from np_data_validation_spark.operators.skew import with_salt
+
+        # entropy from the counterpart side: rows of one hot subject differ
+        # only in m_* — content-derived salt keeps re-runs deterministic.
+        entropy = [c for c in ("m_doc_id", "m_source", "m_n_tok", "m_tok_hash") if c in pairs.columns]
+        rolled = (
+            with_salt(pairs, entropy, salt_buckets)
+            .groupBy("doc_id", "source", "_salt")
+            .agg(
+                F.max("verdict_code").alias("_mx"),
+                F.max(valid).alias("_v"),
+                F.max(invalid).alias("_i"),
+                F.max(missing).alias("_m"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .groupBy("doc_id", "source")
+            .agg(
+                F.max("_mx").alias("final_verdict_code"),
+                F.max("_v").alias("has_valid"),
+                F.max("_i").alias("has_invalid"),
+                F.max("_m").alias("is_missing"),
+                F.sum("_n").alias("n_pairs"),
+            )
+        )
+    else:
+        rolled = pairs.groupBy("doc_id", "source").agg(
             F.max("verdict_code").alias("final_verdict_code"),
-            F.max((F.col("verdict_code") >= VALID_MIN) | (F.col("verdict_code") == SELF)).alias("has_valid"),
-            F.max(F.col("verdict_code").between(UNSYNCED_DATA, UNSYNCED_OR_CORRUPT_DATA)).alias("has_invalid"),
-            F.max(F.col("verdict_code") == MISSING_COUNTERPART).alias("is_missing"),
+            F.max(valid).alias("has_valid"),
+            F.max(invalid).alias("has_invalid"),
+            F.max(missing).alias("is_missing"),
             F.count(F.lit(1)).alias("n_pairs"),
         )
-        .withColumn(
-            "row_status",
-            F.when(F.col("has_invalid") | F.col("is_missing"), F.lit("fail"))
-            .when(F.col("has_valid") | F.col("final_verdict_code").isin(SELF_NO_CHECKSUM, OTHER_NO_CHECKSUM), F.lit("pass"))
-            .otherwise(F.lit("unknown")),
-        )
+    return rolled.withColumn(
+        "row_status",
+        F.when(F.col("has_invalid") | F.col("is_missing"), F.lit("fail"))
+        .when(F.col("has_valid") | F.col("final_verdict_code").isin(SELF_NO_CHECKSUM, OTHER_NO_CHECKSUM), F.lit("pass"))
+        .otherwise(F.lit("unknown")),
+    )
+
+
+def find_reclaimable(
+    pairs: DataFrame, backup_sources: list[str] | tuple[str, ...] = ("backup",)
+) -> DataFrame:
+    """Action gate: subjects whose storage can be reclaimed — the engine's
+    form of the reference's ``delete_if_valid_backup_in_db`` strategy
+    (/root/reference/strategies.py:95-168), lookup -> veto -> act:
+
+    * ≥1 VALID copy (code >= 21) located in a backup-rooted source — the
+      source-membership restriction is J9's path-prefix rule
+      (/root/reference/strategies.py:145-148, data_validation.py:1327-1329);
+    * ZERO invalid-band copies anywhere — ANY invalid copy vetoes the
+      action (/root/reference/strategies.py:135-138);
+    * the subject itself must not live in a backup source (the final
+      subject-is-not-the-backup assertion, /root/reference/strategies.py:
+      106-107).
+
+    Returns (doc_id, source, n_valid_backups). One partial-aggregated
+    groupBy over the pair table — no extra joins at scale.
+    """
+    code = F.col("verdict_code")
+    backups = list(backup_sources)
+    valid_backup = (code >= VALID_MIN) & F.col("m_source").isin(backups)
+    agg = pairs.groupBy("doc_id", "source").agg(
+        F.max(valid_backup).alias("_has_valid_backup"),
+        F.max(code.between(*INVALID_BAND)).alias("_veto"),
+        F.sum(F.when(valid_backup, 1).otherwise(0)).cast("long").alias("n_valid_backups"),
+    )
+    return (
+        agg.filter(F.col("_has_valid_backup") & ~F.col("_veto"))
+        .filter(~F.col("source").isin(backups))
+        .select("doc_id", "source", "n_valid_backups")
     )
 
 

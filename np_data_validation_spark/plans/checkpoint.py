@@ -50,21 +50,30 @@ def read_state(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def done_partitions(
-    spark: SparkSession, out_dir: str, fingerprints: dict[str, str] | None = None
+    spark: SparkSession,
+    out_dir: str,
+    fingerprints: dict[str, str] | None = None,
+    code_version: str | None = None,
 ) -> set[str]:
     """Partitions whose latest state is done — and, when fingerprints of the
     current input are supplied, whose recorded input fingerprint still
     matches (changed input invalidates the checkpoint, reference X4
-    memoization semantics)."""
+    memoization semantics). When ``code_version`` is supplied, the recorded
+    lineage must match it too: bumping engine.CODE_VERSION re-runs every
+    checkpoint written under older verdict/constraint semantics."""
     rows = read_state(spark, out_dir).filter(F.col("status") == "done").collect()
     done = set()
     for r in rows:
-        if fingerprints is not None:
+        if fingerprints is not None or code_version is not None:
             try:
                 lineage = json.loads(r["lineage"] or "{}")
             except json.JSONDecodeError:
                 continue
-            if lineage.get("input_fingerprint") != fingerprints.get(r["partition"]):
+            if fingerprints is not None and lineage.get(
+                "input_fingerprint"
+            ) != fingerprints.get(r["partition"]):
+                continue
+            if code_version is not None and lineage.get("code_version") != code_version:
                 continue
         done.add(r["partition"])
     return done
@@ -95,18 +104,31 @@ def write_state_rows(
     return run_id
 
 
-def input_fingerprints(snapshot: DataFrame) -> dict[str, str]:
-    """Cheap per-partition input fingerprint: row count + n_tok sum + doc_id
-    hash-sum. One aggregate scan; no token payload read (column pruning
-    keeps the parquet scan to 3 light columns)."""
-    rows = (
-        snapshot.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("n_tok").alias("s"),
-            # xor-fold: order-independent, overflow-free under ANSI mode
-            F.expr("bit_xor(xxhash64(doc_id))").alias("h"),
-        )
-        .collect()
-    )
+def input_fingerprints(
+    snapshot: DataFrame, content_aware: bool = False
+) -> dict[str, str]:
+    """Per-partition input fingerprint for resume gating.
+
+    Default (cheap): row count + n_tok sum + doc_id hash-sum — one aggregate
+    scan, NO token payload read (column pruning keeps the parquet scan to 3
+    light columns). LIMITATION: an in-place content-only token corruption
+    (same rows, same lengths, same ids — the engine's primary detection
+    target) leaves this fingerprint unchanged, so a resumed run skips the
+    partition as done. Set ``content_aware=True`` to fold a payload hash
+    (JVM xxhash64 over the token arrays — full payload scan, roughly the
+    cost of the validation pass itself) into the fingerprint; use it when
+    checkpoints must be invalidated by silent payload mutation rather than
+    by new/changed rows.
+    """
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_tok").alias("s"),
+        # xor-fold: order-independent, overflow-free under ANSI mode
+        F.expr("bit_xor(xxhash64(doc_id))").alias("h"),
+    ]
+    if content_aware:
+        aggs.append(F.expr("bit_xor(xxhash64(tokens))").alias("c"))
+    rows = snapshot.groupBy("source").agg(*aggs).collect()
+    if content_aware:
+        return {r["source"]: f"{r['n']}:{r['s']}:{r['h']}:{r['c']}" for r in rows}
     return {r["source"]: f"{r['n']}:{r['s']}:{r['h']}" for r in rows}

@@ -188,6 +188,23 @@ def manifest_audit(snapshot: DataFrame, manifest: DataFrame) -> DataFrame:
     )
 
 
+def _clear_partitions(spark: SparkSession, base: str, partitions: list[str]) -> None:
+    """Explicitly drop the output subdirectories of every partition in the
+    batch. Dynamic partition overwrite only replaces partitions PRESENT in
+    the written DataFrame — a re-validated partition that now yields ZERO
+    violation rows would otherwise keep its previous run's stale rows while
+    state reports it clean. A crash after the delete and before the state
+    commit just re-runs the partition (results-first, state-last ordering).
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for p in partitions:
+        path = jvm.org.apache.hadoop.fs.Path(os.path.join(base, f"_part={p}"))
+        fs = path.getFileSystem(hconf)
+        if fs.exists(path):
+            fs.delete(path, True)
+
+
 def run_validation(
     spark: SparkSession,
     snapshot_path: str,
@@ -205,13 +222,28 @@ def run_validation(
     (max throughput); smaller batches give finer resume granularity at the
     cost of extra jobs — the reference's per-session loop is the degenerate
     commit_batch=1 case.
+
+    Resume gating: a partition is skipped only if its recorded input
+    fingerprint AND code_version both match (see plans.checkpoint). NB the
+    default fingerprint is metadata-cheap (count + n_tok sum + doc_id
+    hash-sum) and does NOT see content-only token corruption in an
+    already-validated partition — pass
+    ``checkpoint.input_fingerprints(..., content_aware=True)`` semantics via
+    a fresh out_dir, or simply re-run with resume=False, when payload-level
+    re-verification of done partitions is required.
     """
+    from np_data_validation_spark.plans.onepass import validate_onepass
+
     snapshot = spark.read.parquet(snapshot_path)
     manifest = spark.read.parquet(manifest_path)
 
     fps = CP.input_fingerprints(snapshot)
     all_parts = sorted(fps)
-    done = CP.done_partitions(spark, out_dir, fps) if resume else set()
+    done = (
+        CP.done_partitions(spark, out_dir, fps, code_version=CODE_VERSION)
+        if resume
+        else set()
+    )
     pending = [p for p in all_parts if p not in done]
 
     result = RunResult(run_id="", validated_partitions=[], skipped_partitions=sorted(done))
@@ -227,10 +259,18 @@ def run_validation(
     for batch in batches:
         # partition pruning: only pending sources are scanned
         snap_b = snapshot.filter(F.col("source").isin(batch))
-        rolled, violations, _ = validate_batch(
-            snap_b, manifest, hash_method=hash_method, join_strategy=join_strategy
+        # one-pass plan: payload scanned once into the batch's pair table
+        # (kept under _work as the pair-level audit trail); rollup,
+        # violations and stats derive from it without payload rescans.
+        res = validate_onepass(
+            spark, snap_b, manifest, os.path.join(out_dir, "_work"),
+            hash_method=hash_method,
         )
-        # 1) results first (idempotent dynamic overwrite per partition)
+        rolled, violations = res.rolled, res.violations
+        # 1) results first (idempotent per-partition replacement: explicit
+        #    clear + dynamic overwrite — overwrite alone leaves stale rows
+        #    when a re-run produces zero rows for a partition)
+        _clear_partitions(spark, os.path.join(out_dir, "violations"), batch)
         rolled.withColumn("_part", F.col("source")).write.mode("overwrite").partitionBy(
             "_part"
         ).parquet(os.path.join(out_dir, "verdicts"))

@@ -1,0 +1,427 @@
+"""One-pass full-constraint validation: the scale-shape plan.
+
+Round-1's job shape rescanned the token payload for the uniqueness, schema
+and stats phases and forced a probe shortcut in the bench. This plan makes
+ONE pass over the payload and derives everything else from a slim written
+pair table:
+
+    scan snapshot (tokens read once)
+      -> pandas-UDF tok_hash (pre-shuffle, scales with cores)
+      -> Exchange(doc_id)                        [the only payload shuffle]
+      -> pre-aggregate on full row identity (doc_id, source, n_tok,
+         tok_hash, n_tok_actual) -> s_mult       [no extra exchange:
+         HashPartitioning(doc_id) satisfies any clustering containing
+         doc_id]
+      -> left join manifest on doc_id (manifest side: Exchange(m_doc_id)
+         -> dedup, same exchange-reuse rule) — shuffled-hash, no sorts
+      -> ordered CASE verdict
+      -> write the slim pair table (10 narrow columns, no tokens)
+
+The pre-aggregation is lossless: duplicate snapshot rows (identical
+identity) join to the SAME manifest rows and classify identically, so one
+pair row weighted by ``s_mult`` carries exactly the information of s_mult
+identical pair rows. Downstream — content probe of the missing set, verdict
+rollup, violations (verdict + uniqueness + schema), per-partition stats —
+reads the written files; nothing touches the payload again, and uniqueness
+violations (per-duplicate dup_rank rows) are reconstructed exactly from the
+identity multiplicities.
+
+Semantics are row-for-row identical to plans.engine.validate_batch
+(tests/test_onepass.py asserts rolled, violations and stats equality); the
+reference anchors are unchanged: verdict tree
+/root/reference/data_validation.py:547-628, content-probe fallback
+:1256-1266, uniqueness dedup-on-insert :728-734.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from np_data_validation_spark.functions.hashing import with_tok_hash
+from np_data_validation_spark.operators import verdicts as V
+
+IDENTITY_COLS = ["doc_id", "source", "n_tok", "tok_hash", "n_tok_actual"]
+
+#: Written pair-table schema: identity + multiplicity + counterpart + code.
+#: m_doc_id and the verdict NAME are derivable and deliberately not written
+#: (m_doc_id only feeds the CASE, which is evaluated before the write;
+#: names come back via verdicts.verdict_name_expr when needed).
+PAIR_COLS = IDENTITY_COLS + ["s_mult", "m_source", "m_n_tok", "m_tok_hash", "verdict_code"]
+
+
+@dataclass
+class OnepassResult:
+    rolled: DataFrame      # verdict rollup (engine verdict schema)
+    violations: DataFrame  # schema.VIOLATIONS shape
+    stats: DataFrame       # operators.stats.partition_stats shape
+    n_rows: int            # validated (doc_id, source) subjects
+    n_missing: int         # subjects probed by content
+
+
+# ---------------------------------------------------------------------------
+# stage 1: hash + identity pre-aggregation + join (the one payload pass)
+# ---------------------------------------------------------------------------
+
+
+def hashed_identity(snapshot: DataFrame, hash_method: str = "pandas_udf") -> DataFrame:
+    """Slim hashed snapshot pre-aggregated on full row identity.
+
+    The single Exchange(doc_id) here is the only shuffle the payload side
+    ever takes: the identity groupBy and the manifest join are both
+    satisfied by HashPartitioning(doc_id).
+    """
+    slim = snapshot.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        # actual payload length rides along so schema checks never rescan
+        # the token payload; null tokens -> null.
+        F.when(F.col("tokens").isNotNull(), F.size("tokens")).alias("n_tok_actual"),
+        "tokens",
+    )
+    slim = with_tok_hash(slim, method=hash_method).drop("tokens")
+    return (
+        slim.repartition("doc_id")
+        .groupBy(*IDENTITY_COLS)
+        .agg(F.count(F.lit(1)).alias("s_mult"))
+    )
+
+
+def _manifest_m(manifest: DataFrame) -> DataFrame:
+    """m_*-aliased manifest, deduped on full identity. The explicit
+    Exchange(m_doc_id) serves both the dedup and the doc_id join."""
+    return (
+        manifest.select(
+            F.col("doc_id").alias("m_doc_id"),
+            F.col("source").alias("m_source"),
+            F.col("n_tok").alias("m_n_tok"),
+            F.col("tok_hash").alias("m_tok_hash"),
+        )
+        .repartition("m_doc_id")
+        .dropDuplicates(["m_doc_id", "m_source", "m_n_tok", "m_tok_hash"])
+    )
+
+
+def pairs_stage1(
+    snapshot: DataFrame, manifest: DataFrame, hash_method: str = "pandas_udf"
+) -> DataFrame:
+    """The one wide plan: hash -> identity pre-agg -> manifest join ->
+    verdict CASE. Exactly two Exchanges total (one per side); shuffled-hash
+    join (no sorts), manifest as build side."""
+    pre = hashed_identity(snapshot, hash_method)
+    m = _manifest_m(manifest)
+    pairs = pre.join(m.hint("shuffle_hash"), pre["doc_id"] == m["m_doc_id"], "left")
+    return pairs.withColumn("verdict_code", V.classify_expr()).select(*PAIR_COLS)
+
+
+# ---------------------------------------------------------------------------
+# stage 2: content probe of the missing set (reads the written pair table)
+# ---------------------------------------------------------------------------
+
+
+def probe_pairs_from(
+    spark: SparkSession, s1: DataFrame, manifest: DataFrame
+) -> tuple[DataFrame, int]:
+    """Re-classify MISSING_COUNTERPART pairs by content (tok_hash equi-join
+    against the manifest — the reference's scan-backups-then-checksum
+    fallback, /root/reference/data_validation.py:1256-1266). Returns
+    (probed pair rows in PAIR_COLS shape, miss count). ``s1`` should be
+    backed by written files so the miss filter is a columnar scan."""
+    missed = s1.filter(F.col("verdict_code") == V.MISSING_COUNTERPART).drop(
+        "m_doc_id", "m_source", "m_n_tok", "m_tok_hash", "verdict_code"
+    )
+    n_miss = missed.count()  # honest: the production path pays this count
+    withhash = missed.filter(F.col("tok_hash").isNotNull())
+    m = _manifest_m(manifest).filter(F.col("m_tok_hash").isNotNull())
+    if n_miss <= V.PROBE_BROADCAST_MAX:
+        # broadcast the tiny missed side; the manifest is only scanned
+        found = m.join(
+            F.broadcast(withhash), F.col("tok_hash") == F.col("m_tok_hash"), "inner"
+        )
+    else:
+        found = withhash.join(m, F.col("tok_hash") == F.col("m_tok_hash"), "inner")
+    still = missed.join(
+        found.select(*IDENTITY_COLS).dropDuplicates(),
+        IDENTITY_COLS,
+        "left_anti",
+    ).select(
+        *IDENTITY_COLS,
+        "s_mult",
+        F.lit(None).cast("string").alias("m_doc_id"),
+        F.lit(None).cast("string").alias("m_source"),
+        F.lit(None).cast("int").alias("m_n_tok"),
+        F.lit(None).cast("long").alias("m_tok_hash"),
+    )
+    probed = found.select(*IDENTITY_COLS, "s_mult", "m_doc_id", "m_source", "m_n_tok", "m_tok_hash").unionByName(still)
+    return probed.withColumn("verdict_code", V.classify_expr()).select(*PAIR_COLS), n_miss
+
+
+def merged_pairs(s1: DataFrame, probed: DataFrame) -> DataFrame:
+    """Final classified pair table: stage-1 hits + probe outcomes."""
+    return s1.filter(F.col("verdict_code") != V.MISSING_COUNTERPART).unionByName(probed)
+
+
+# ---------------------------------------------------------------------------
+# derived outputs (read slim written files; no payload rescans)
+# ---------------------------------------------------------------------------
+
+
+def rollup_pairs(pairs: DataFrame, salt_buckets: int | None = None) -> DataFrame:
+    """Per-subject rollup — operators.verdicts.rollup_verdicts weighted by
+    the identity multiplicity (sum(s_mult) == raw pair-row count).
+    ``salt_buckets``: two-level skew-spread aggregation, see
+    verdicts.rollup_verdicts (all aggregates here are algebraic)."""
+    code = F.col("verdict_code")
+    valid = (code >= V.VALID_MIN) | (code == V.SELF)
+    invalid = code.between(V.UNSYNCED_DATA, V.UNSYNCED_OR_CORRUPT_DATA)
+    missing = code == V.MISSING_COUNTERPART
+    if salt_buckets:
+        from np_data_validation_spark.operators.skew import with_salt
+
+        entropy = [c for c in ("m_source", "m_n_tok", "m_tok_hash") if c in pairs.columns]
+        grouped = (
+            with_salt(pairs, entropy, salt_buckets)
+            .groupBy("doc_id", "source", "_salt")
+            .agg(
+                F.max("verdict_code").alias("_mx"),
+                F.max(valid).alias("_v"),
+                F.max(invalid).alias("_i"),
+                F.max(missing).alias("_m"),
+                F.sum("s_mult").alias("_n"),
+            )
+            .groupBy("doc_id", "source")
+            .agg(
+                F.max("_mx").alias("final_verdict_code"),
+                F.max("_v").alias("has_valid"),
+                F.max("_i").alias("has_invalid"),
+                F.max("_m").alias("is_missing"),
+                F.sum("_n").alias("n_pairs"),
+            )
+        )
+    else:
+        grouped = pairs.groupBy("doc_id", "source").agg(
+            F.max("verdict_code").alias("final_verdict_code"),
+            F.max(valid).alias("has_valid"),
+            F.max(invalid).alias("has_invalid"),
+            F.max(missing).alias("is_missing"),
+            F.sum("s_mult").alias("n_pairs"),
+        )
+    return (
+        grouped
+        .withColumn(
+            "row_status",
+            F.when(F.col("has_invalid") | F.col("is_missing"), F.lit("fail"))
+            .when(
+                F.col("has_valid")
+                | F.col("final_verdict_code").isin(V.SELF_NO_CHECKSUM, V.OTHER_NO_CHECKSUM),
+                F.lit("pass"),
+            )
+            .otherwise(F.lit("unknown")),
+        )
+    )
+
+
+def identity_rows(s1: DataFrame) -> DataFrame:
+    """One row per snapshot identity (+ s_mult), recovered from the pair
+    table (identities repeat once per manifest match; the probe never
+    changes them). The repartition(doc_id) again serves every downstream
+    grouping in one exchange."""
+    return (
+        s1.select(*IDENTITY_COLS, "s_mult")
+        .repartition("doc_id")
+        .dropDuplicates(IDENTITY_COLS)
+    )
+
+
+def verdict_violations(pairs: DataFrame) -> DataFrame:
+    """operators.verdicts.extract_violations over weighted pairs: one
+    violation row per RAW pair row (s_mult replication)."""
+    code = F.col("verdict_code")
+    cls = None
+    for verdict, name in V.VIOLATION_CLASS.items():
+        cls = (F.when if cls is None else cls.when)(code == verdict, F.lit(name))
+    return (
+        pairs.withColumn("violation", cls)
+        .filter(F.col("violation").isNotNull())
+        .withColumn("verdict", V.verdict_name_expr())
+        .withColumn("_r", F.explode(F.sequence(F.lit(1).cast("long"), F.col("s_mult"))))
+        .select(
+            "doc_id",
+            "source",
+            "violation",
+            F.to_json(
+                F.struct(
+                    F.col("verdict"),
+                    F.col("n_tok"),
+                    F.col("m_n_tok"),
+                    F.col("tok_hash"),
+                    F.col("m_tok_hash"),
+                    F.col("m_source"),
+                )
+            ).alias("detail"),
+        )
+    )
+
+
+def uniqueness_violations_from_identities(ids: DataFrame) -> DataFrame:
+    """operators.constraints.uniqueness_violations reconstructed exactly:
+    per (doc_id, source), identities ordered by (tok_hash, n_tok)
+    nulls-last occupy rank ranges [cum+1, cum+s_mult]; every rank > 1 is a
+    DUPLICATE_DOC_ID row. Only groups whose total multiplicity exceeds 1
+    ever reach the window — the normal case never sorts anything."""
+    totals = ids.groupBy("doc_id", "source").agg(F.sum("s_mult").alias("_tot"))
+    bad_keys = totals.filter(F.col("_tot") > 1).select("doc_id", "source")
+    bad = ids.join(F.broadcast(bad_keys), ["doc_id", "source"], "left_semi")
+    w = Window.partitionBy("doc_id", "source").orderBy(
+        F.col("tok_hash").asc_nulls_last(), F.col("n_tok").asc_nulls_last()
+    )
+    start = F.coalesce(
+        F.sum("s_mult").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    return (
+        bad.withColumn("_start", start)
+        .withColumn(
+            "dup_rank",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("_start") + 1, F.lit(2).cast("long")),
+                    F.col("_start") + F.col("s_mult"),
+                )
+            ),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.lit("DUPLICATE_DOC_ID").alias("violation"),
+            F.to_json(F.struct("dup_rank", "n_tok", "tok_hash")).alias("detail"),
+        )
+    )
+
+
+def schema_violations_from_identities(ids: DataFrame) -> DataFrame:
+    """operators.constraints.schema_violations semantics (one row per raw
+    snapshot row) from identity rows."""
+    rep = F.explode(F.sequence(F.lit(1).cast("long"), F.col("s_mult")))
+    mismatch = (
+        ids.filter(
+            F.col("n_tok_actual").isNotNull() & (F.col("n_tok") != F.col("n_tok_actual"))
+        )
+        .withColumn("_r", rep)
+        .select(
+            "doc_id",
+            "source",
+            F.lit("N_TOK_MISMATCH").alias("violation"),
+            F.to_json(
+                F.struct(F.col("n_tok"), F.col("n_tok_actual").alias("actual_len"))
+            ).alias("detail"),
+        )
+    )
+    null_ntok = (
+        ids.filter(F.col("n_tok").isNull())
+        .withColumn("_r", rep)
+        .select(
+            "doc_id",
+            "source",
+            F.lit("NULL_N_TOK").alias("violation"),
+            F.to_json(F.struct(F.col("n_tok_actual").alias("actual_len"))).alias(
+                "detail"
+            ),
+        )
+    )
+    null_docid = (
+        ids.filter(F.col("doc_id").isNull())
+        .withColumn("_r", rep)
+        .select(
+            "doc_id",
+            "source",
+            F.lit("NULL_DOC_ID").alias("violation"),
+            F.to_json(
+                F.struct(F.col("n_tok"), F.col("n_tok_actual").alias("actual_len"))
+            ).alias("detail"),
+        )
+    )
+    return mismatch.unionByName(null_ntok).unionByName(null_docid)
+
+
+def all_violations(merged: DataFrame, ids: DataFrame) -> DataFrame:
+    """Batch-scoped violations, row-for-row equal to validate_batch's
+    union (verdict-derived + uniqueness + schema)."""
+    return (
+        verdict_violations(merged)
+        .unionByName(uniqueness_violations_from_identities(ids))
+        .unionByName(schema_violations_from_identities(ids))
+    )
+
+
+def stats_from_identities(ids: DataFrame, group_col: str = "source") -> DataFrame:
+    """operators.stats.partition_stats reproduced from identity rows —
+    multiplicity-weighted so the numbers equal a raw-snapshot pass, with no
+    token-payload rescan (approx-distinct is duplicate-insensitive)."""
+    mult = F.col("s_mult")
+    ntok_notnull = F.when(F.col("n_tok").isNotNull(), mult).otherwise(F.lit(0))
+    return ids.rollup(group_col).agg(
+        F.sum(mult).alias("n_rows"),
+        F.min("n_tok").alias("n_tok_min"),
+        F.max("n_tok").alias("n_tok_max"),
+        (F.sum(F.col("n_tok").cast("long") * mult) / F.sum(ntok_notnull)).alias(
+            "n_tok_avg"
+        ),
+        F.sum(F.col("n_tok").cast("long") * mult).alias("n_tok_sum"),
+        (
+            F.sum(F.when(F.col("n_tok").isNull(), mult).otherwise(F.lit(0)))
+            / F.sum(mult)
+        ).cast("double").alias("n_tok_null_rate"),
+        (
+            F.sum(F.when(F.col("n_tok_actual").isNull(), mult).otherwise(F.lit(0)))
+            / F.sum(mult)
+        ).cast("double").alias("tokens_null_rate"),
+        F.approx_count_distinct("doc_id", 0.02).alias("doc_id_approx_distinct"),
+        (F.grouping(group_col) == 1).alias("is_global"),
+    )
+
+
+ROLLED_PUBLIC_COLS = [
+    "doc_id", "source", "final_verdict_code", "has_valid", "has_invalid",
+    "is_missing", "n_pairs", "row_status",
+]
+
+
+def validate_onepass(
+    spark: SparkSession,
+    snapshot: DataFrame,
+    manifest: DataFrame,
+    work_dir: str,
+    hash_method: str = "pandas_udf",
+) -> OnepassResult:
+    """Full constraint pass: the payload is scanned once into the written
+    slim pair table; probe, rollup, violations and stats all derive from
+    written files. Returns live DataFrames backed by ``work_dir``."""
+    def write_read(df: DataFrame, name: str) -> DataFrame:
+        # read back with the writer's schema: a legitimately EMPTY output
+        # (e.g. no missing subjects -> empty probe table) produces a
+        # file-less directory that schema inference would reject.
+        path = os.path.join(work_dir, name)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.schema(df.schema).parquet(path)
+
+    s1 = write_read(pairs_stage1(snapshot, manifest, hash_method), "pairs_stage1")
+    # identities written once: the uniqueness/schema checks AND the stats
+    # rollup both consume them — deriving twice would pay the dedup
+    # exchange per consumer (stats over identities then needs NO exchange
+    # at all: rollup(source) is pure partial aggregation).
+    ids = write_read(identity_rows(s1), "identities")
+    probed, n_miss = probe_pairs_from(spark, s1, manifest)
+    merged = merged_pairs(s1, write_read(probed, "pairs_probe"))
+    rolled = write_read(rollup_pairs(merged), "rolled")
+    return OnepassResult(
+        rolled=rolled.select(*ROLLED_PUBLIC_COLS),
+        violations=all_violations(merged, ids),
+        stats=stats_from_identities(ids),
+        n_rows=rolled.count(),
+        n_missing=n_miss,
+    )

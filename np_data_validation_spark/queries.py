@@ -945,12 +945,117 @@ def hll_distinct_sketch(spark, sf_dir):
     return S.merge_sketches(S.doc_id_sketches(snap))
 
 
-@q("ann_lsh_topk")  # no oracle: seeded-hyperplane buckets are engine-side
+@q("ann_lsh_topk")  # no oracle: numpy-seeded hyperplanes are engine-side
 def ann_lsh_topk(spark, sf_dir):
+    """Production ANN variant: numpy-matmul bucket kernel (pandas UDF)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     return SIM.lsh_topk(emb, q, dim=64, k=3, bits=8).select(
         "query_id", "neighbor_id", "rank"
+    )
+
+
+def _ann_portable_sql() -> str:
+    bucket = SIM.bucket_portable_sql("embedding", dim=64, bits=8)
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << b})" for b in range(8)])
+    return f"""
+    WITH c AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec,
+                 unnest([{probes}]) AS bucket
+          FROM c WHERE vec_id < 5),
+    cand AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                    CAST(q.qvec AS DOUBLE[])) AS cosine
+      FROM c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.query_id)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM cand) WHERE rank <= 3
+    """
+
+
+@q("ann_lsh_topk_portable", _ann_portable_sql())
+def ann_lsh_topk_portable(spark, sf_dir):
+    """Oracle-checkable ANN: md5-derived hyperplanes + left-to-right folds
+    make the LSH buckets (and thus the candidate sets and final ranks)
+    bit-identical between the Spark plan and the DuckDB twin."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return SIM.lsh_topk_portable(emb, q, dim=64, k=3, bits=8).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+# --- U1/U2: value-level oracle for the vectorized xxhash64 kernel ------------
+
+_GOLDEN_FIXTURE = __file__.rsplit("/", 2)[0] + "/fixtures/xxh64_golden.parquet"
+
+
+@q(
+    "udf_xxhash_golden",
+    f"""SELECT CAST(case_id AS INT) AS case_id, expected_hash AS tok_hash
+        FROM read_parquet('{_GOLDEN_FIXTURE}') ORDER BY case_id""",
+)
+def udf_xxhash_golden(spark, sf_dir):
+    """Value-level check of the vectorized pandas-UDF XXH64 kernel: hash the
+    fixture token arrays (edge lengths around every stripe/lane boundary,
+    adversarial values) and compare against goldens pinned from the scalar
+    public-spec implementation — the golden-checksum doctrine of the
+    reference (/root/reference/data_validation.py:204-208, :493-496),
+    surfaced as a driver-checked oracle instead of pytest-only."""
+    from np_data_validation_spark.functions.hashing import tok_hash_udf
+
+    fx = spark.read.parquet(_GOLDEN_FIXTURE)
+    return fx.select(
+        F.col("case_id").cast("int").alias("case_id"),
+        tok_hash_udf(F.col("tokens")).alias("tok_hash"),
+    )
+
+
+# --- J9 action gate + P6 conditional compute --------------------------------
+
+
+@q(
+    "j9_reclaimable_gate",
+    f"""SELECT doc_id, source, CAST(n_valid_backups AS BIGINT) AS n_valid_backups
+        FROM (
+          SELECT doc_id, source,
+                 MAX(CASE WHEN verdict_code >= 21 AND m_source = 'backup' THEN 1 ELSE 0 END) AS vb,
+                 MAX(CASE WHEN verdict_code BETWEEN 10 AND 13 THEN 1 ELSE 0 END) AS veto,
+                 SUM(CASE WHEN verdict_code >= 21 AND m_source = 'backup' THEN 1 ELSE 0 END) AS n_valid_backups
+          FROM ({PAIRS_SQL}) GROUP BY doc_id, source
+        ) g
+        WHERE vb = 1 AND veto = 0 AND source != 'backup'""",
+)
+def j9_reclaimable_gate(spark, sf_dir):
+    """J9 + the veto-then-act gate (reference strategies.py:95-168):
+    subjects with >=1 valid copy in the backup-rooted source and zero
+    invalid-band copies; source-membership restricts both the backup side
+    and the subject side."""
+    return V.find_reclaimable(_pairs_df(spark, sf_dir), backup_sources=("backup",))
+
+
+@q(
+    "p6_conditional_hash_gate",
+    f"""WITH s AS ({SNAPSHOT_SQL})
+        SELECT doc_id,
+               CASE WHEN n_tok <= 256 THEN tok_hash ELSE NULL END AS gated_hash,
+               (n_tok <= 256) AS hashed
+        FROM s""",
+)
+def p6_conditional_hash_gate(spark, sf_dir):
+    """P6: size-threshold conditional compute — the reference gated checksum
+    generation behind checksum_threshold (/root/reference/
+    data_validation.py:424, :487-491); expressed as a CASE that nulls the
+    expensive column above the threshold (Catalyst short-circuits the hash
+    for gated-off rows)."""
+    s = _snapshot(_t(spark, sf_dir, "documents"))
+    return s.select(
+        "doc_id",
+        F.when(F.col("n_tok") <= 256, F.col("tok_hash")).alias("gated_hash"),
+        (F.col("n_tok") <= 256).alias("hashed"),
     )
 
 

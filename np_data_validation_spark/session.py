@@ -50,6 +50,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # count/min/max answered from parquet footers instead of scans —
+        # the engine's derive-from-written-files phases count constantly
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             str(ARROW_BATCH_ROWS),

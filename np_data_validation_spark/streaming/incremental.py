@@ -2,14 +2,19 @@
 
 The reference is batch-with-resume (SURVEY.md §2.10) — its closest streaming
 analog is "new session folders appear; validate the new ones". Here that is
-a file-source stream + ``foreachBatch`` reusing the exact batch operators,
-so streaming and batch share one code path (same verdict CASE, same
-violation extraction). Checkpointing is Spark's own streaming checkpoint —
-exactly-once per micro-batch file set.
+a file-source stream + ``foreachBatch`` reusing the exact batch plan
+(plans.onepass — same verdict CASE, same violation extraction as batch), so
+streaming and batch share one code path.
 
-``trigger(availableNow=True)`` drains everything currently in the directory
-then stops — the scheduled-incremental-ingest pattern; drop it for a
-continuously running validator.
+Delivery semantics: Spark's streaming checkpoint gives foreachBatch
+AT-LEAST-ONCE invocation — a micro-batch whose sink write succeeded but
+whose offset commit crashed is re-invoked with the SAME batch_id. The sink
+below is therefore made idempotent by partitioning output on batch_id and
+using dynamic partition overwrite: a replayed batch overwrites its own
+partition instead of appending duplicates, yielding effective exactly-once
+per micro-batch file set. The one-pass plan writes its scratch pair table
+under a batch_id-scoped dir (also overwrite-idempotent) and holds no caches,
+so a long-running stream accumulates no executor storage.
 """
 
 from __future__ import annotations
@@ -17,8 +22,9 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from np_data_validation_spark.plans.engine import validate_batch
+from np_data_validation_spark.plans.onepass import validate_onepass
 from np_data_validation_spark.schema import SEQUENCES
 
 
@@ -32,7 +38,8 @@ def validate_stream(
     max_files_per_trigger: int | None = None,
 ):
     """Start a streaming validation of parquet files arriving in
-    ``landing_dir``; verdicts and violations append under ``out_dir``.
+    ``landing_dir``; verdicts and violations land under ``out_dir``,
+    partitioned by ``_batch_id`` (idempotent re-delivery, see module doc).
     Returns the StreamingQuery (caller awaits/stops)."""
     reader = spark.readStream.schema(SEQUENCES)
     if max_files_per_trigger:
@@ -42,11 +49,16 @@ def validate_stream(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        rolled, violations, _ = validate_batch(
-            batch_df, manifest, hash_method=hash_method
-        )
-        rolled.write.mode("append").parquet(os.path.join(out_dir, "verdicts"))
-        violations.write.mode("append").parquet(os.path.join(out_dir, "violations"))
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        work = os.path.join(out_dir, "_work", f"batch={batch_id}")
+        res = validate_onepass(spark, batch_df, manifest, work, hash_method=hash_method)
+        for df, name in ((res.rolled, "verdicts"), (res.violations, "violations")):
+            (
+                df.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("_batch_id")
+                .parquet(os.path.join(out_dir, name))
+            )
 
     writer = (
         stream.writeStream.foreachBatch(process)

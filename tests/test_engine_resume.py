@@ -47,7 +47,8 @@ def test_partial_run_resumes_pending_only(spark, synth_dataset, out_dir):
         [
             {"partition": p, "status": "done",
              "metrics": {"rows": -1},
-             "lineage": {"input_fingerprint": fps[p]}}
+             "lineage": {"input_fingerprint": fps[p],
+                         "code_version": E.CODE_VERSION}}
             for p in all_parts[:2]
         ],
     )

@@ -1,0 +1,95 @@
+"""Equivalence of the one-pass plan (plans.onepass) with the reference
+two-stage plan (plans.engine.validate_batch): rolled verdicts, violations
+(verdict-derived + uniqueness + schema) and per-partition stats must match
+row for row on the fault-injected synthetic dataset (every verdict class,
+duplicates, n_tok mismatches, null payloads present)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from np_data_validation_spark.operators import stats as S
+from np_data_validation_spark.plans import onepass
+from np_data_validation_spark.plans.engine import validate_batch
+
+
+@pytest.fixture(scope="module")
+def frames(seq_man):
+    snapshot, manifest, _labels = seq_man
+    return snapshot, manifest
+
+
+@pytest.fixture(scope="module")
+def onepass_result(spark, frames, tmp_path_factory):
+    snapshot, manifest = frames
+    work = str(tmp_path_factory.mktemp("onepass"))
+    return onepass.validate_onepass(spark, snapshot, manifest, work)
+
+
+def _sorted_rows(df, cols):
+    return sorted(
+        (tuple(r[c] for c in cols) for r in df.collect()),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+
+
+def test_rolled_matches_validate_batch(spark, frames, onepass_result):
+    snapshot, manifest = frames
+    rolled_ref, _, _ = validate_batch(snapshot, manifest, persist=True)
+    cols = onepass.ROLLED_PUBLIC_COLS
+    assert _sorted_rows(onepass_result.rolled, cols) == _sorted_rows(
+        rolled_ref.select(*cols), cols
+    )
+
+
+def test_violations_match_validate_batch(spark, frames, onepass_result):
+    snapshot, manifest = frames
+    _, viols_ref, _ = validate_batch(snapshot, manifest, persist=True)
+    cols = ["doc_id", "source", "violation", "detail"]
+    got = _sorted_rows(onepass_result.violations, cols)
+    want = _sorted_rows(viols_ref, cols)
+    assert got == want
+
+
+def test_violations_cover_all_classes(onepass_result):
+    classes = {
+        r["violation"]
+        for r in onepass_result.violations.select("violation").distinct().collect()
+    }
+    assert {
+        "SIZE_MISMATCH",
+        "STALE_CHECKSUM",
+        "CHECKSUM_MISMATCH",
+        "MISSING_COUNTERPART",
+        "DUPLICATE_DOC_ID",
+        "N_TOK_MISMATCH",
+    } <= classes
+
+
+def test_stats_match_partition_stats(spark, frames, onepass_result):
+    snapshot, _ = frames
+    cols = [
+        "source", "n_rows", "n_tok_min", "n_tok_max", "n_tok_sum",
+        "n_tok_null_rate", "tokens_null_rate", "is_global",
+    ]
+    got = _sorted_rows(onepass_result.stats, cols)
+    want = _sorted_rows(S.partition_stats(snapshot), cols)
+    assert got == want
+    # avg compared with tolerance (double arithmetic order differs)
+    got_avg = {r["source"]: r["n_tok_avg"] for r in onepass_result.stats.collect()}
+    want_avg = {r["source"]: r["n_tok_avg"] for r in S.partition_stats(snapshot).collect()}
+    assert set(got_avg) == set(want_avg)
+    for k, v in want_avg.items():
+        assert got_avg[k] == pytest.approx(v, rel=1e-12)
+
+
+def test_onepass_plan_shape(spark, frames):
+    """The stage-1 plan must contain exactly two Exchanges (one per input
+    side) — the identity pre-agg and the join reuse the doc_id
+    partitioning — and no sort (shuffled-hash join, not sort-merge)."""
+    snapshot, manifest = frames
+    plan = onepass.pairs_stage1(snapshot, manifest)._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 2, f"expected 2 exchanges, got {n_exchanges}:\n{plan}"
+    assert "SortMergeJoin" not in plan, plan
