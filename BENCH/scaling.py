@@ -42,9 +42,18 @@ cpus = int(sys.argv[1])
 spark = get_spark(app_name=f"npdv-scaling-{{cpus}}", cpus=cpus,
                   shuffle_partitions=4 * cpus,
                   extra_conf={{
-                      "spark.sql.files.maxPartitionBytes": "8m",
+                      # 32m splits: enough tasks for the high level (the
+                      # bench input is written as many small files), without
+                      # the per-task driver dispatch cost of 8m splits
+                      # growing into a serial term at both levels
+                      "spark.sql.files.maxPartitionBytes": "32m",
                       "spark.driver.memory": f"{{2 * cpus}}g",
                       "spark.local.dir": f"/dev/shm/npdv_shuffle_{{cpus}}",
+                      # keep ~4 waves of post-shuffle tasks at each level:
+                      # default AQE coalescing floors at defaultParallelism
+                      # (= cores), leaving a 1-wave tail-imbalance at the
+                      # high level
+                      "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
                   }})
 spark.range(1000).count()  # JVM warmup
 root = benchlib.ensure_bench_data()
@@ -143,6 +152,9 @@ levels standing in for N and 4N executors.
 
 **Scaling efficiency** = {hi['rows_per_sec']:,.0f} / ({args.xn // args.n} x {lo['rows_per_sec']:,.0f})
 = **{eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+
+Best-run phase breakdown (sec): local[{args.n}] {lo.get('phases')},
+local[{args.xn}] {hi.get('phases')}
 
 Input: {lo['rows']:,} sequences, token lengths {benchlib.BENCH_MIN_LEN}-{benchlib.BENCH_MAX_LEN},
 seeded fault injection (every verdict class present), hive-partitioned

@@ -124,17 +124,20 @@ def pairs_stage1(
 
 
 def probe_pairs_from(
-    spark: SparkSession, s1: DataFrame, manifest: DataFrame
+    spark: SparkSession, s1: DataFrame, manifest: DataFrame, n_miss: int | None = None
 ) -> tuple[DataFrame, int]:
     """Re-classify MISSING_COUNTERPART pairs by content (tok_hash equi-join
     against the manifest — the reference's scan-backups-then-checksum
     fallback, /root/reference/data_validation.py:1256-1266). Returns
     (probed pair rows in PAIR_COLS shape, miss count). ``s1`` should be
-    backed by written files so the miss filter is a columnar scan."""
+    backed by written files so the miss filter is a columnar scan.
+    ``n_miss``: pass the stage-1 observation when available (free); when
+    None the production path pays an explicit count."""
     missed = s1.filter(F.col("verdict_code") == V.MISSING_COUNTERPART).drop(
         "m_doc_id", "m_source", "m_n_tok", "m_tok_hash", "verdict_code"
     )
-    n_miss = missed.count()  # honest: the production path pays this count
+    if n_miss is None:
+        n_miss = missed.count()
     withhash = missed.filter(F.col("tok_hash").isNotNull())
     m = _manifest_m(manifest).filter(F.col("m_tok_hash").isNotNull())
     if n_miss <= V.PROBE_BROADCAST_MAX:
@@ -226,14 +229,19 @@ def rollup_pairs(pairs: DataFrame, salt_buckets: int | None = None) -> DataFrame
 
 
 def identity_rows(s1: DataFrame) -> DataFrame:
-    """One row per snapshot identity (+ s_mult), recovered from the pair
-    table (identities repeat once per manifest match; the probe never
-    changes them). The repartition(doc_id) again serves every downstream
-    grouping in one exchange."""
+    """One row per snapshot identity (+ s_mult + the group's total
+    multiplicity), recovered from the pair table (identities repeat once
+    per manifest match; the probe never changes them). The
+    repartition(doc_id) serves the dedup, and ``tot_mult`` rides a window
+    over the same partitioning (sort only, no second exchange) — so the
+    uniqueness check downstream is a pure FILTER, not an aggregation+
+    broadcast round-trip."""
+    w = Window.partitionBy("doc_id", "source")
     return (
         s1.select(*IDENTITY_COLS, "s_mult")
         .repartition("doc_id")
         .dropDuplicates(IDENTITY_COLS)
+        .withColumn("tot_mult", F.sum("s_mult").over(w))
     )
 
 
@@ -271,11 +279,10 @@ def uniqueness_violations_from_identities(ids: DataFrame) -> DataFrame:
     """operators.constraints.uniqueness_violations reconstructed exactly:
     per (doc_id, source), identities ordered by (tok_hash, n_tok)
     nulls-last occupy rank ranges [cum+1, cum+s_mult]; every rank > 1 is a
-    DUPLICATE_DOC_ID row. Only groups whose total multiplicity exceeds 1
-    ever reach the window — the normal case never sorts anything."""
-    totals = ids.groupBy("doc_id", "source").agg(F.sum("s_mult").alias("_tot"))
-    bad_keys = totals.filter(F.col("_tot") > 1).select("doc_id", "source")
-    bad = ids.join(F.broadcast(bad_keys), ["doc_id", "source"], "left_semi")
+    DUPLICATE_DOC_ID row. ``tot_mult`` was precomputed at identity-write
+    time, so selecting the offending groups is a plain filter and only the
+    (rare) offenders reach the ranking window."""
+    bad = ids.filter(F.col("tot_mult") > 1)
     w = Window.partitionBy("doc_id", "source").orderBy(
         F.col("tok_hash").asc_nulls_last(), F.col("n_tok").asc_nulls_last()
     )
@@ -401,6 +408,8 @@ def validate_onepass(
     """Full constraint pass: the payload is scanned once into the written
     slim pair table; probe, rollup, violations and stats all derive from
     written files. Returns live DataFrames backed by ``work_dir``."""
+    from pyspark.sql import Observation
+
     def write_read(df: DataFrame, name: str) -> DataFrame:
         # read back with the writer's schema: a legitimately EMPTY output
         # (e.g. no missing subjects -> empty probe table) produces a
@@ -409,14 +418,28 @@ def validate_onepass(
         df.write.mode("overwrite").parquet(path)
         return spark.read.schema(df.schema).parquet(path)
 
-    s1 = write_read(pairs_stage1(snapshot, manifest, hash_method), "pairs_stage1")
-    # identities written once: the uniqueness/schema checks AND the stats
-    # rollup both consume them — deriving twice would pay the dedup
-    # exchange per consumer (stats over identities then needs NO exchange
-    # at all: rollup(source) is pure partial aggregation).
-    ids = write_read(identity_rows(s1), "identities")
-    probed, n_miss = probe_pairs_from(spark, s1, manifest)
-    merged = merged_pairs(s1, write_read(probed, "pairs_probe"))
+    # the miss count rides the stage-1 write as an observation (no extra job)
+    obs = Observation("onepass_stage1")
+    s1_obs = pairs_stage1(snapshot, manifest, hash_method).observe(
+        obs,
+        F.sum(
+            F.when(F.col("verdict_code") == V.MISSING_COUNTERPART, 1).otherwise(0)
+        ).alias("n_missing"),
+    )
+    s1 = write_read(s1_obs, "pairs_stage1")
+    n_miss = int(obs.get["n_missing"] or 0)
+    probed, n_miss = probe_pairs_from(spark, s1, manifest, n_miss=n_miss)
+    # identities (uniqueness/schema/stats input) and the probe table are
+    # independent given the written s1 — submit both writes concurrently
+    # (Spark schedules concurrent jobs from separate threads), hiding one
+    # job's latency behind the other's.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        ids_f = pool.submit(write_read, identity_rows(s1), "identities")
+        probe_f = pool.submit(write_read, probed, "pairs_probe")
+        ids = ids_f.result()
+        merged = merged_pairs(s1, probe_f.result())
     rolled = write_read(rollup_pairs(merged), "rolled")
     return OnepassResult(
         rolled=rolled.select(*ROLLED_PUBLIC_COLS),

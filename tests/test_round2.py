@@ -214,6 +214,37 @@ def test_glob_manifest_is_distributed(spark, tmp_path):
     assert "FileScan binaryFile" in out._jdf.queryExecution().executedPlan().toString()
 
 
+# --- streaming idempotence ---------------------------------------------------
+
+
+def test_stream_replayed_batch_is_idempotent(spark, seq_man, tmp_path):
+    """foreachBatch is at-least-once: re-invoking process() with the same
+    batch_id (sink-write succeeded, offset commit crashed) must not
+    duplicate verdict rows — the _batch_id dynamic-overwrite contract."""
+    import os
+
+    from np_data_validation_spark.streaming import incremental as INC
+
+    seq, man, _labels = seq_man
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    seq.limit(200).write.mode("overwrite").parquet(landing)
+    q = INC.validate_stream(spark, landing, man, out, available_now=True)
+    q.awaitTermination(120)
+    verdicts = spark.read.parquet(os.path.join(out, "verdicts"))
+    n1 = verdicts.count()
+    assert n1 > 0
+    # simulate the replay: run a second availableNow stream with a FRESH
+    # checkpoint over the same files -> same batch_id 0 re-processed
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "_stream_checkpoint"))
+    q2 = INC.validate_stream(spark, landing, man, out, available_now=True)
+    q2.awaitTermination(120)
+    n2 = spark.read.parquet(os.path.join(out, "verdicts")).count()
+    assert n2 == n1  # overwrite-by-batch, not append-duplicates
+
+
 # --- portable ANN -----------------------------------------------------------
 
 
