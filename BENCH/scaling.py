@@ -159,7 +159,7 @@ local[{args.xn}] {hi.get('phases')}
 Input: {lo['rows']:,} sequences, token lengths {benchlib.BENCH_MIN_LEN}-{benchlib.BENCH_MAX_LEN},
 seeded fault injection (every verdict class present), hive-partitioned
 parquet with one file per (source, chunk) so both levels have enough input
-splits; `spark.sql.files.maxPartitionBytes=8m`.
+splits; `spark.sql.files.maxPartitionBytes=32m`, AQE advisory 8m.
 
 Methodology (honest N vs 4N executor modeling on one host):
 * each level is pinned with `taskset -c 0-(cores-1)` so the pandas-UDF
@@ -170,8 +170,8 @@ Methodology (honest N vs 4N executor modeling on one host):
   4x executors = 4x memory and 4x default parallelism); AQE on at both;
 * shuffle on tmpfs (per-executor local SSDs scale with cluster size; one
   shared spindle would put a fixed-bandwidth term under both levels);
-* best of {args.runs} x 4 in-JVM runs per level, levels interleaved: the
-  first in-JVM runs pay JIT/codegen warmup that a steady-state 10^12-row
+* best of {args.runs} x 6 in-JVM runs per level, levels interleaved: the
+  first ~4 in-JVM runs pay JIT/codegen warmup that a steady-state 10^12-row
   job amortizes in its first seconds, and interleaving equalizes
   time-correlated host noise (shared VM).
   measured runs (sec): local[{args.n}] {lo['all_sec']}, local[{args.xn}] {hi['all_sec']}
