@@ -18,7 +18,7 @@ BENCH_ROWS = int(os.environ.get("NPDV_BENCH_ROWS", "8000000"))
 BENCH_MIN_LEN = 8
 BENCH_MAX_LEN = 64
 BENCH_SEED = 42
-BENCH_DATA_VERSION = "v3"
+BENCH_DATA_VERSION = "v4"  # v4: synth adds duplicate_mixed + renamed_null_ntok
 
 
 def bench_data_dir() -> str:

@@ -69,10 +69,19 @@ def n_tok_histogram(
     bucket_width: int = DEFAULT_BUCKET_WIDTH,
 ) -> DataFrame:
     """Fixed-width histogram of n_tok. Partial per-partition counts merge
-    by addition — the treewise-mergeable representation drift.py consumes."""
+    by addition — the treewise-mergeable representation drift.py consumes.
+
+    Null n_tok rows are excluded: a null has no bucket, and a null key never
+    equals itself in drift.py's bucket-alignment joins (identical histograms
+    would read as drifted). Null *rate* is partition_stats' job.
+    """
     bucket = (F.col("n_tok") / F.lit(bucket_width)).cast("long").alias("bucket")
     keys = [bucket] if group_col is None else [F.col(group_col), bucket]
-    return snapshot.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        snapshot.filter(F.col("n_tok").isNotNull())
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
 
 def source_histogram(snapshot: DataFrame) -> DataFrame:

@@ -147,9 +147,17 @@ def probe_pairs_from(
         )
     else:
         found = withhash.join(m, F.col("tok_hash") == F.col("m_tok_hash"), "inner")
+    # Anti-join on the SUBJECT key (doc_id, source), not the full identity:
+    # (a) identity-level equality is null-unsafe, so a missed row with a null
+    # identity column (e.g. null n_tok) that content-matched would reappear
+    # in `still` and double-report (found pair + spurious MISSING row);
+    # (b) subject-level exclusion is validate_batch's probe semantics
+    # (verdicts.probe_pairs / engine.materialize_pairs anti-join on
+    # (doc_id, source)) — once ANY identity of a subject is content-found,
+    # the subject is no longer reported missing.
     still = missed.join(
-        found.select(*IDENTITY_COLS).dropDuplicates(),
-        IDENTITY_COLS,
+        found.select("doc_id", "source").dropDuplicates(),
+        ["doc_id", "source"],
         "left_anti",
     ).select(
         *IDENTITY_COLS,
@@ -292,6 +300,12 @@ def uniqueness_violations_from_identities(ids: DataFrame) -> DataFrame:
     )
     return (
         bad.withColumn("_start", start)
+        # drop empty rank ranges BEFORE exploding: the group's first-sorted
+        # identity with s_mult=1 has range [greatest(1,2)=2, 1], and Spark's
+        # sequence(2, 1) counts DOWN ([2,1]) instead of yielding [] — which
+        # would emit spurious DUPLICATE_DOC_ID rows (including dup_rank=1
+        # against the copy that is kept).
+        .filter(F.col("_start") + F.col("s_mult") >= 2)
         .withColumn(
             "dup_rank",
             F.explode(

@@ -36,8 +36,13 @@ FAULT_WEIGHTS = {
     "other_no_checksum": 0.005,  # manifest hash missing -> OTHER_NO_CHECKSUM
     "missing": 0.01,             # -> MISSING_COUNTERPART violation
     "duplicate": 0.005,          # duplicated doc_id in snapshot (uniqueness)
+    "duplicate_mixed": 0.003,    # duplicated doc_id, DIFFERENT content (mixed-
+                                 # identity group: uniqueness keeps rank 1 only)
     "inconsistent": 0.005,       # two manifest hashes for one doc_id (consistency)
     "n_tok_mismatch": 0.005,     # n_tok != size(tokens) (schema invariant)
+    "renamed_null_ntok": 0.002,  # null n_tok + renamed manifest counterpart:
+                                 # stage-1 miss, content probe finds it (null
+                                 # identity column through the probe anti-join)
 }
 
 CASES = ["clean"] + list(FAULT_WEIGHTS)
@@ -101,6 +106,7 @@ def generate(
     n_tok[ntm] += 1
 
     tokens_null = case == "self_no_checksum"
+    ntok_null = case == "renamed_null_ntok"
 
     seq_tokens = pa.ListArray.from_arrays(
         pa.array(offsets, type=pa.int32()),
@@ -119,7 +125,7 @@ def generate(
         {
             "doc_id": pa.array(doc_ids, type=pa.string()),
             "tokens": seq_tokens,
-            "n_tok": pa.array(n_tok, type=pa.int32()),
+            "n_tok": pa.array(n_tok, type=pa.int32(), mask=ntok_null),
             "source": pa.array(sources, type=pa.string()),
         }
     )
@@ -128,6 +134,27 @@ def generate(
     dup_rows = np.flatnonzero(case == "duplicate")
     if len(dup_rows):
         seq_tbl = pa.concat_tables([seq_tbl, seq_tbl.take(pa.array(dup_rows))])
+
+    # mixed-content duplicates: append a copy with ONE token flipped — same
+    # (doc_id, source), different tok_hash, so the group holds two identities
+    # each with s_mult=1 (the case uniqueness reconstruction must rank
+    # correctly: only rank 2 is a violation, the kept copy never is).
+    dm_rows = np.flatnonzero(case == "duplicate_mixed")
+    if len(dm_rows):
+        mixed_toks = []
+        for i in dm_rows:  # few rows; fine outside numpy
+            seg = flat[offsets[i] : offsets[i + 1]].copy()
+            seg[0] = np.int32(seg[0] ^ 2)
+            mixed_toks.append(seg.tolist())
+        dm_tbl = pa.table(
+            {
+                "doc_id": pa.array(doc_ids[dm_rows], type=pa.string()),
+                "tokens": pa.array(mixed_toks, type=seq_tbl.schema.field("tokens").type),
+                "n_tok": pa.array(n_tok[dm_rows], type=pa.int32()),
+                "source": pa.array(sources[dm_rows], type=pa.string()),
+            }
+        )
+        seq_tbl = pa.concat_tables([seq_tbl, dm_tbl])
 
     # --- manifest construction (vectorized) -------------------------------
     # Each snapshot row contributes 0, 1 or 2 manifest rows depending on its
@@ -158,6 +185,10 @@ def generate(
 
     renamed = case == "valid_copy_renamed"
     m_doc[renamed] = np.char.add(doc_ids[renamed].astype(str), "_r").astype(object)
+    # renamed_null_ntok: counterpart under a different doc_id (stage-1 miss),
+    # same content hash (probe finds it); snapshot-side n_tok is null.
+    nuln = case == "renamed_null_ntok"
+    m_doc[nuln] = np.char.add(doc_ids[nuln].astype(str), "_n").astype(object)
     coll = case == "collision"
     m_doc[coll] = np.char.add(doc_ids[coll].astype(str), "_c").astype(object)
     m_ntok[coll] += 7

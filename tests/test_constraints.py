@@ -7,7 +7,9 @@ from np_data_validation_spark.operators import constraints as C
 def test_uniqueness(seq_man):
     seq, _, labels = seq_man
     vio = C.uniqueness_violations(with_tok_hash(seq)).toPandas()
-    dup_ids = set(labels.loc[labels["case"] == "duplicate", "doc_id"])
+    dup_ids = set(
+        labels.loc[labels["case"].isin(["duplicate", "duplicate_mixed"]), "doc_id"]
+    )
     assert set(vio["doc_id"]) == dup_ids
     assert (vio["violation"] == "DUPLICATE_DOC_ID").all()
     # exactly one extra copy each -> one violation row each
@@ -23,16 +25,20 @@ def test_referential(seq_man):
     # rescues them (classify_pairs stage 2), not this check.
     want_missing = set(
         labels.loc[
-            labels["case"].isin(["missing", "valid_copy_renamed", "collision"]),
+            labels["case"].isin(
+                ["missing", "valid_copy_renamed", "collision", "renamed_null_ntok"]
+            ),
             "doc_id",
         ]
     )
     assert set(missing["doc_id"]) == want_missing
     orphaned = vio[vio["violation"] == "MISSING_IN_SNAPSHOT"]
     # renamed + collision manifest entries have doc_ids absent from snapshot
-    want_orphans = {
-        d + "_r" for d in labels.loc[labels["case"] == "valid_copy_renamed", "doc_id"]
-    } | {d + "_c" for d in labels.loc[labels["case"] == "collision", "doc_id"]}
+    want_orphans = (
+        {d + "_r" for d in labels.loc[labels["case"] == "valid_copy_renamed", "doc_id"]}
+        | {d + "_c" for d in labels.loc[labels["case"] == "collision", "doc_id"]}
+        | {d + "_n" for d in labels.loc[labels["case"] == "renamed_null_ntok", "doc_id"]}
+    )
     assert set(orphaned["doc_id"]) == want_orphans
 
 

@@ -64,6 +64,7 @@ def test_violations_cover_all_classes(onepass_result):
         "MISSING_COUNTERPART",
         "DUPLICATE_DOC_ID",
         "N_TOK_MISMATCH",
+        "NULL_N_TOK",
     } <= classes
 
 
@@ -82,6 +83,50 @@ def test_stats_match_partition_stats(spark, frames, onepass_result):
     assert set(got_avg) == set(want_avg)
     for k, v in want_avg.items():
         assert got_avg[k] == pytest.approx(v, rel=1e-12)
+
+
+def test_mixed_duplicate_ranks(seq_man, onepass_result):
+    """Regression: a (doc_id, source) group of two DIFFERENT identities
+    (s_mult=1 each) must yield exactly one DUPLICATE_DOC_ID row at rank 2 —
+    the first-sorted identity's empty rank range must NOT explode (Spark's
+    sequence(2,1) counts down instead of yielding [])."""
+    import json
+
+    _, _, labels = seq_man
+    dm_ids = set(labels.loc[labels["case"] == "duplicate_mixed", "doc_id"])
+    assert dm_ids, "fixture must contain mixed-content duplicates"
+    rows = (
+        onepass_result.violations.filter(F.col("violation") == "DUPLICATE_DOC_ID")
+        .collect()
+    )
+    by_doc: dict[str, list[int]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(json.loads(r["detail"])["dup_rank"])
+    for d in dm_ids:
+        assert by_doc.get(d) == [2], f"{d}: got ranks {by_doc.get(d)}"
+
+
+def test_probe_found_null_ntok_not_missing(seq_man, onepass_result):
+    """Regression: a stage-1 miss with a null identity column (n_tok) that
+    the content probe finds must NOT also surface as MISSING_COUNTERPART
+    (null-unsafe identity anti-join double-reported it)."""
+    _, _, labels = seq_man
+    nuln_ids = set(labels.loc[labels["case"] == "renamed_null_ntok", "doc_id"])
+    assert nuln_ids, "fixture must contain renamed_null_ntok rows"
+    missing_docs = {
+        r["doc_id"]
+        for r in onepass_result.violations.filter(
+            F.col("violation") == "MISSING_COUNTERPART"
+        ).collect()
+    }
+    assert not (nuln_ids & missing_docs)
+    status = {
+        r["doc_id"]: r["row_status"]
+        for r in onepass_result.rolled.filter(
+            F.col("doc_id").isin(list(nuln_ids))
+        ).collect()
+    }
+    assert set(status.values()) == {"unknown"}, status
 
 
 def test_onepass_plan_shape(spark, frames):

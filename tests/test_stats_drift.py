@@ -19,7 +19,11 @@ def test_partition_stats(seq_man):
     # hot-source skew is present in the fixture
     assert per["n_rows"].max() > 4 * per["n_rows"].min()
     counts = labels.groupby("source").size()
-    dups = labels[labels["case"] == "duplicate"].groupby("source").size()
+    dups = (
+        labels[labels["case"].isin(["duplicate", "duplicate_mixed"])]
+        .groupby("source")
+        .size()
+    )
     for src in counts.index:
         want = counts[src] + (dups.get(src, 0))
         assert per.loc[src, "n_rows"] == want
@@ -42,9 +46,11 @@ def test_histograms_merge_to_total(seq_man):
     seq, _, _ = seq_man
     per_src = S.n_tok_histogram(seq, group_col="source")
     total_from_parts = per_src.agg(F.sum("cnt")).collect()[0][0]
-    assert total_from_parts == seq.count()
+    # nulls are excluded from the histogram (no bucket; rate tracked in
+    # partition_stats)
+    assert total_from_parts == seq.filter(F.col("n_tok").isNotNull()).count()
     glob = S.n_tok_histogram(seq, group_col=None)
-    assert glob.agg(F.sum("cnt")).collect()[0][0] == seq.count()
+    assert glob.agg(F.sum("cnt")).collect()[0][0] == total_from_parts
 
 
 def test_chi2_math_against_known_values():

@@ -138,8 +138,15 @@ EXPECTED_FINAL = {
     "other_no_checksum": (V.OTHER_NO_CHECKSUM, "pass"),
     "missing": (V.MISSING_COUNTERPART, "fail"),
     "duplicate": (V.SELF, "pass"),          # uniqueness flags it separately
+    # mixed-content duplicate: the pristine copy still SELF-matches (pass);
+    # the flipped copy's same-path hash mismatch falls through to UNKNOWN
+    # (max code = SELF). Uniqueness flags rank 2 separately.
+    "duplicate_mixed": (V.SELF, "pass"),
     "inconsistent": (V.SELF, "pass"),       # consistency flags it separately
     "n_tok_mismatch": (V.UNKNOWN, "unknown"),
+    # null n_tok: every size-gated branch is null-guarded, so the probe-found
+    # renamed counterpart classifies UNKNOWN (schema flags NULL_N_TOK).
+    "renamed_null_ntok": (V.UNKNOWN, "unknown"),
 }
 
 
