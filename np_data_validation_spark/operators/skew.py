@@ -24,6 +24,56 @@ from pyspark.sql import functions as F
 #: Default number of salt buckets for hot-key spreading.
 DEFAULT_SALT_BUCKETS = 16
 
+#: Hot-key probe resolution (see detect_hot_keys).
+SKEW_PROBE_BUCKETS = 4096
+
+#: A bucket must be both this many times the average bucket ...
+SKEW_RATIO = 8.0
+#: ... and at least this many absolute rows before salting engages — a
+#: reducer group below this is not pathological even fully funneled.
+SKEW_MIN_HOT_ROWS = 2_000_000
+
+
+def detect_hot_keys(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("doc_id", "source"),
+    probes: int = SKEW_PROBE_BUCKETS,
+    ratio: float = SKEW_RATIO,
+    min_hot_rows: int = SKEW_MIN_HOT_ROWS,
+) -> bool:
+    """Scale-free hot-key probe: does some grouping key hold a pathological
+    share of ``df``'s rows?
+
+    Counts rows per hash bucket (xxhash64(keys) mod ``probes``) — an upper
+    bound on the hottest key's row count with NO per-key state. An exact
+    per-key count would shuffle one partial row per distinct key per map
+    task (at 10^12 rows with ~10^12 keys, a full-size shuffle); the bucket
+    probe's shuffle is at most ``probes`` partial rows per task, and the
+    scan is narrow (key columns only). Detection is relative (hot bucket >=
+    ``ratio`` x the average bucket) so it is scale-free, gated by an
+    absolute floor (``min_hot_rows``) so small inputs never trip it.
+
+    This is the detector behind validate_onepass's salt_buckets="auto" —
+    the engine's explicit-skew-handling contract (north_rule; the
+    reference's one-big-session pathology,
+    /root/reference/data_validation.py:1449-1455).
+    """
+    bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(probes))
+    row = (
+        df.groupBy(bucket.alias("_bucket"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            F.max("_c").alias("mx"),
+            F.sum("_c").alias("n"),
+            F.count(F.lit(1)).alias("k"),
+        )
+        .first()
+    )
+    if row is None or not row["n"]:
+        return False
+    avg = row["n"] / max(row["k"], 1)
+    return row["mx"] >= max(ratio * avg, float(min_hot_rows))
+
 
 def salt_expr(*cols: str | Column, buckets: int = DEFAULT_SALT_BUCKETS) -> Column:
     """Deterministic uniform salt in [0, buckets) from row content.

@@ -60,6 +60,7 @@ class OnepassResult:
     stats: DataFrame       # operators.stats.partition_stats shape
     n_rows: int            # validated (doc_id, source) subjects
     n_missing: int         # subjects probed by content
+    salt_buckets_used: int | None = None  # rollup salting engaged (auto/forced)
 
 
 # ---------------------------------------------------------------------------
@@ -418,11 +419,25 @@ def validate_onepass(
     manifest: DataFrame,
     work_dir: str,
     hash_method: str = "pandas_udf",
+    salt_buckets: int | str | None = "auto",
+    skew_ratio: float | None = None,
+    skew_min_hot_rows: int | None = None,
 ) -> OnepassResult:
     """Full constraint pass: the payload is scanned once into the written
     slim pair table; probe, rollup, violations and stats all derive from
-    written files. Returns live DataFrames backed by ``work_dir``."""
+    written files. Returns live DataFrames backed by ``work_dir``.
+
+    ``salt_buckets``: "auto" (default) probes the written pair table for a
+    hot (doc_id, source) key (operators.skew.detect_hot_keys — a bucket-
+    count scan that runs CONCURRENTLY with the identity/probe jobs, so its
+    latency hides behind them) and engages two-level salted rollup only
+    when one is found — skew handled explicitly per the north_rule, zero
+    plan change on well-distributed input. Pass an int to force, None to
+    disable. ``skew_ratio`` / ``skew_min_hot_rows`` override the detector
+    thresholds (mainly for tests)."""
     from pyspark.sql import Observation
+
+    from np_data_validation_spark.operators import skew as SK
 
     def write_read(df: DataFrame, name: str) -> DataFrame:
         # read back with the writer's schema: a legitimately EMPTY output
@@ -449,16 +464,26 @@ def validate_onepass(
     # job's latency behind the other's.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    with ThreadPoolExecutor(max_workers=3) as pool:
         ids_f = pool.submit(write_read, identity_rows(s1), "identities")
         probe_f = pool.submit(write_read, probed, "pairs_probe")
+        if salt_buckets == "auto":
+            kw = {}
+            if skew_ratio is not None:
+                kw["ratio"] = skew_ratio
+            if skew_min_hot_rows is not None:
+                kw["min_hot_rows"] = skew_min_hot_rows
+            skew_f = pool.submit(SK.detect_hot_keys, s1, ("doc_id", "source"), **kw)
         ids = ids_f.result()
         merged = merged_pairs(s1, probe_f.result())
-    rolled = write_read(rollup_pairs(merged), "rolled")
+        if salt_buckets == "auto":
+            salt_buckets = SK.DEFAULT_SALT_BUCKETS if skew_f.result() else None
+    rolled = write_read(rollup_pairs(merged, salt_buckets=salt_buckets), "rolled")
     return OnepassResult(
         rolled=rolled.select(*ROLLED_PUBLIC_COLS),
         violations=all_violations(merged, ids),
         stats=stats_from_identities(ids),
         n_rows=rolled.count(),
         n_missing=n_miss,
+        salt_buckets_used=salt_buckets,
     )
