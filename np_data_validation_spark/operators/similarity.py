@@ -263,9 +263,19 @@ def embedding_near_dups(
     bits: int = ANN_BITS,
     seed: int = ANN_SEED,
 ) -> DataFrame:
-    """Pairs with cosine >= threshold. 'lsh': same-bucket self-join (near-
-    identical vectors collide with high probability at high thresholds);
-    'brute': full cross-join — O(n^2), only for small corpora / oracles."""
+    """Pairs with cosine >= threshold. 'lsh': bucketed self-join with
+    hamming-1 multi-probe (below); 'brute': full cross-join — O(n^2), only
+    for small corpora / oracles.
+
+    Multi-probe: ONE side of the self-join explodes to its bucket plus all
+    ``bits`` hamming-1 neighbor buckets (mirrors lsh_topk's probe). A
+    near-dup pair straddling exactly one hyperplane boundary lands in
+    buckets at hamming distance 1 — the same-bucket-only join silently
+    missed those; with the probe, a pair is missed only when >= 2 of the
+    ``bits`` hyperplanes split it (recall gated by a planted-pair pytest).
+    Exploding one side multiplies that side's shuffle by bits+1 — still
+    candidates-only, never all-pairs; id_a < id_b + distinct dedups the
+    two probe directions."""
     if method == "brute":
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
         b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
@@ -276,7 +286,11 @@ def embedding_near_dups(
             .select("id_a", "id_b", "cosine")
         )
     c = with_ann_bucket(df, dim, vec_col, bits, seed)
-    a = c.select("bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    a = c.select(
+        F.explode(_hamming1_neighbors(F.col("bucket"), bits)).alias("bucket"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+    )
     b = c.select("bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, "bucket")
