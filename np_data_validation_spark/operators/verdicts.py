@@ -183,10 +183,22 @@ def stage1_pairs(
     return out.withColumn("verdict", verdict_name_expr())
 
 
+#: Broadcast budget for the probe's missed side, expressed in BYTES — a raw
+#: row-count cap is a proxy that silently scales with driver heap (5M slim
+#: rows ~ 300 MB: fine at a 32g benchmark driver, an OOM at default driver
+#: sizing). 64 MB is safe at Spark's default 1g driver/executor memory and
+#: well under the 8 GB broadcast hard limit.
+PROBE_BROADCAST_MAX_BYTES = 64 << 20
+
+#: Conservative on-heap width of one slim miss row (doc_id ~16ch string +
+#: source + n_tok + tok_hash + n_tok_actual + s_mult, with JVM object /
+#: hash-relation overhead).
+PROBE_ROW_WIDTH_BYTES = 96
+
 #: Below this many missed rows the probe broadcasts the missed side and
 #: streams the manifest (no manifest shuffle); above it, fall back to the
-#: shuffle join on tok_hash.
-PROBE_BROADCAST_MAX = 5_000_000
+#: shuffle join on tok_hash. Derived from the byte budget (~700k rows).
+PROBE_BROADCAST_MAX = PROBE_BROADCAST_MAX_BYTES // PROBE_ROW_WIDTH_BYTES
 
 
 def probe_pairs(

@@ -54,6 +54,31 @@ def test_probe_broadcasts_missed_side(spark, seq_man, tmp_path):
     assert "BroadcastHashJoin" in _plan(probed)
 
 
+def test_probe_threshold_is_byte_derived_and_large_miss_shuffles(spark, seq_man):
+    """The broadcast cap must come from a byte budget (a bare row count
+    scales silently with driver heap), and a miss set above it must take
+    the shuffle path — no broadcast of a >64MB relation."""
+    from np_data_validation_spark.functions.hashing import with_tok_hash
+    from np_data_validation_spark.operators import verdicts as V
+
+    assert V.PROBE_BROADCAST_MAX == V.PROBE_BROADCAST_MAX_BYTES // V.PROBE_ROW_WIDTH_BYTES
+    assert V.PROBE_BROADCAST_MAX * V.PROBE_ROW_WIDTH_BYTES <= 64 << 20
+
+    seq, man, _ = seq_man
+    missed = with_tok_hash(seq).select("doc_id", "source", "n_tok", "tok_hash")
+    # disable size-based auto-broadcast so the plan shows only the code
+    # path's explicit choice (test inputs are tiny and would auto-broadcast)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = V.probe_pairs(missed, man, missed_rows=V.PROBE_BROADCAST_MAX + 1)
+        assert "BroadcastHashJoin" not in _plan(big)
+        small = V.probe_pairs(missed, man, missed_rows=10)
+        assert "BroadcastHashJoin" in _plan(small)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_uniqueness_is_filter_not_aggregation(spark, seq_man, tmp_path):
     """tot_mult precomputation means selecting uniqueness offenders is a
     pushable filter over the identities table, not an agg+broadcast."""
