@@ -214,6 +214,7 @@ def run_validation(
     commit_batch: int | None = None,
     hash_method: str = "pandas_udf",
     join_strategy: str = "auto",
+    content_aware: bool = False,
 ) -> RunResult:
     """Validate all pending partitions of ``snapshot_path`` and commit
     results + state under ``out_dir``.
@@ -224,20 +225,23 @@ def run_validation(
     commit_batch=1 case.
 
     Resume gating: a partition is skipped only if its recorded input
-    fingerprint AND code_version both match (see plans.checkpoint). NB the
+    fingerprint AND code_version both match (see plans.checkpoint). The
     default fingerprint is metadata-cheap (count + n_tok sum + doc_id
     hash-sum) and does NOT see content-only token corruption in an
-    already-validated partition — pass
-    ``checkpoint.input_fingerprints(..., content_aware=True)`` semantics via
-    a fresh out_dir, or simply re-run with resume=False, when payload-level
-    re-verification of done partitions is required.
+    already-validated partition; ``content_aware=True`` folds a payload
+    hash into the fingerprint (one extra full-payload scan — roughly the
+    cost of validating — the reference's re-checksum doctrine,
+    /root/reference/data_validation.py:487-496), so silently mutated
+    partitions re-validate instead of being skipped. Fingerprints of the
+    two modes are incompatible by construction (different shapes), so
+    switching modes re-validates everything once.
     """
     from np_data_validation_spark.plans.onepass import validate_onepass
 
     snapshot = spark.read.parquet(snapshot_path)
     manifest = spark.read.parquet(manifest_path)
 
-    fps = CP.input_fingerprints(snapshot)
+    fps = CP.input_fingerprints(snapshot, content_aware=content_aware)
     all_parts = sorted(fps)
     done = (
         CP.done_partitions(spark, out_dir, fps, code_version=CODE_VERSION)

@@ -88,6 +88,45 @@ def test_resume_produces_identical_results(spark, synth_dataset, tmp_path):
     ) == sorted((r["doc_id"], r["final_verdict_code"]) for r in rb.collect())
 
 
+def test_content_aware_resume_sees_in_place_corruption(spark, synth_dataset, tmp_path):
+    """In-place token corruption (same rows, same lengths, same doc_ids) is
+    invisible to the metadata-cheap fingerprint but must re-validate under
+    content_aware=True (the reference's re-checksum doctrine,
+    /root/reference/data_validation.py:487-496)."""
+    import glob
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root, _ = synth_dataset
+    snap_p = str(tmp_path / "sequences")
+    shutil.copytree(os.path.join(root, "sequences"), snap_p)
+    man_p = os.path.join(root, "manifest")
+    out_plain, out_ca = str(tmp_path / "plain"), str(tmp_path / "ca")
+    E.run_validation(spark, snap_p, man_p, out_plain)
+    E.run_validation(spark, snap_p, man_p, out_ca, content_aware=True)
+
+    # flip one token in one partition file, preserving length and ids
+    f = sorted(glob.glob(os.path.join(snap_p, "source=*", "*.parquet")))[0]
+    part = os.path.basename(os.path.dirname(f)).split("=", 1)[1]
+    tbl = pq.read_table(f)
+    toks = tbl.column("tokens").to_pylist()
+    i = next(i for i, t in enumerate(toks) if t)
+    toks[i] = [toks[i][0] ^ 1] + toks[i][1:]
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("tokens"),
+        "tokens",
+        pa.array(toks, type=tbl.schema.field("tokens").type),
+    )
+    pq.write_table(tbl, f)
+
+    r_plain = E.run_validation(spark, snap_p, man_p, out_plain)
+    assert r_plain.validated_partitions == []  # cheap fingerprint blind to it
+    r_ca = E.run_validation(spark, snap_p, man_p, out_ca, content_aware=True)
+    assert r_ca.validated_partitions == [part]  # payload hash catches it
+
+
 def test_state_metrics_recorded(spark, synth_dataset, out_dir):
     snap_p, man_p, labels = paths(synth_dataset)
     E.run_validation(spark, snap_p, man_p, out_dir)
