@@ -263,11 +263,15 @@ def run_validation(
     for batch in batches:
         # partition pruning: only pending sources are scanned
         snap_b = snapshot.filter(F.col("source").isin(batch))
-        # one-pass plan: payload scanned once into the batch's pair table
-        # (kept under _work as the pair-level audit trail); rollup,
-        # violations and stats derive from it without payload rescans.
+        # one-pass plan: payload scanned once into the batch's pair table;
+        # rollup, violations and stats derive from it without payload
+        # rescans. The work dir is scoped per batch (first partition of the
+        # batch names it) so a multi-batch run keeps EVERY batch's pair
+        # table as the pair-level audit trail — a shared dir would be
+        # overwritten by each subsequent batch.
         res = validate_onepass(
-            spark, snap_b, manifest, os.path.join(out_dir, "_work"),
+            spark, snap_b, manifest,
+            os.path.join(out_dir, "_work", f"batch={batch[0]}"),
             hash_method=hash_method,
         )
         rolled, violations = res.rolled, res.violations

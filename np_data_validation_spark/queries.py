@@ -945,6 +945,34 @@ def hll_distinct_sketch(spark, sf_dir):
     return S.merge_sketches(S.doc_id_sketches(snap))
 
 
+@q(
+    "hll_distinct_check",
+    """SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_exact,
+              TRUE AS within_2pct
+       FROM documents""",
+)
+def hll_distinct_check(spark, sf_dir):
+    """Value-level oracle gate for the HLL path: the sketch's treewise-merged
+    estimate must land within 2% of the exact distinct count (HLL_LGK=12 ->
+    ~1.6% expected rel. error). Emitting (n_exact, within_2pct) makes the
+    engine-specific sketch value hash-comparable: DuckDB computes the exact
+    count and asserts TRUE, so the row hashes match iff the sketch is
+    in-tolerance."""
+    from np_data_validation_spark.operators import stats as S
+
+    docs = _t(spark, sf_dir, "documents").withColumnRenamed("doc_id", "_id")
+    snap = docs.select(F.col("_id").cast("string").alias("doc_id"), "source")
+    est = S.merge_sketches(S.doc_id_sketches(snap))
+    exact = snap.agg(F.countDistinct("doc_id").alias("_n"))
+    return exact.crossJoin(est).select(
+        F.col("_n").cast("long").alias("n_exact"),
+        (
+            F.abs(F.col("doc_id_distinct_global") - F.col("_n"))
+            <= 0.02 * F.col("_n")
+        ).alias("within_2pct"),
+    )
+
+
 @q("ann_lsh_topk")  # no oracle: numpy-seeded hyperplanes are engine-side
 def ann_lsh_topk(spark, sf_dir):
     """Production ANN variant: numpy-matmul bucket kernel (pandas UDF)."""

@@ -109,7 +109,10 @@ def manifest_from_sums(
 
 
 def glob_manifest(
-    spark: SparkSession, root: str, name_rlike: str = r".*\.parquet$"
+    spark: SparkSession,
+    root: str,
+    name_rlike: str = r".*\.parquet$",
+    include_hidden: bool = False,
 ) -> DataFrame:
     """Manifest-of-files from a directory listing (the reference's
     local-dir glob manifest, /root/reference/data_getters.py:228-260): one
@@ -119,18 +122,44 @@ def glob_manifest(
     (``binaryFile`` format reads metadata only — content is never loaded
     because only path/length are projected), so a datalake-sized directory
     tree is listed by the cluster, not by a driver-side os.walk loop.
+
+    CAVEAT: Spark's file index silently drops files and directories whose
+    name starts with ``_`` or ``.`` (hidden-path filter) — unlike the
+    reference's rglob. For a manifest feeding a validation engine that gap
+    is inventory loss, so ``include_hidden=True`` switches to a
+    distributed-walk path with full fidelity: first-level entries are
+    listed on the driver (one readdir), then each subtree is walked inside
+    executors. The walk needs ``root`` visible on executor filesystems
+    (local/NFS mounts — exactly the reference's local-dir use case).
     """
-    listing = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*")
-        .option("recursiveFileLookup", "true")
-        .load(root)
-        .select(
-            F.element_at(F.split(F.col("path"), "/"), -1).alias("name"),
-            F.col("path"),
-            F.col("length").alias("size"),
+    if not include_hidden:
+        listing = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*")
+            .option("recursiveFileLookup", "true")
+            .load(root)
+            .select(
+                F.element_at(F.split(F.col("path"), "/"), -1).alias("name"),
+                F.col("path"),
+                F.col("length").alias("size"),
+            )
         )
-    )
+        return listing.filter(F.col("name").rlike(name_rlike))
+
+    top = sorted(os.path.join(root, e) for e in os.listdir(root))
+
+    def walk(paths):
+        for p in paths:
+            if os.path.isfile(p):
+                yield (os.path.basename(p), p, os.path.getsize(p))
+                continue
+            for r, _dirs, files in os.walk(p):
+                for f in files:
+                    fp = os.path.join(r, f)
+                    yield (f, fp, os.path.getsize(fp))
+
+    rdd = spark.sparkContext.parallelize(top, max(len(top), 1)).mapPartitions(walk)
+    listing = spark.createDataFrame(rdd, "name string, path string, size long")
     return listing.filter(F.col("name").rlike(name_rlike))
 
 

@@ -13,8 +13,10 @@ below is therefore made idempotent by partitioning output on batch_id and
 using dynamic partition overwrite: a replayed batch overwrites its own
 partition instead of appending duplicates, yielding effective exactly-once
 per micro-batch file set. The one-pass plan writes its scratch pair table
-under a batch_id-scoped dir (also overwrite-idempotent) and holds no caches,
-so a long-running stream accumulates no executor storage.
+under a batch_id-scoped dir that is DELETED once the batch's sink writes
+commit (a replayed batch simply recreates it — overwrite-idempotent), and
+holds no caches, so a long-running stream accumulates storage neither on
+executors nor on the output filesystem.
 """
 
 from __future__ import annotations
@@ -26,6 +28,15 @@ from pyspark.sql import functions as F
 
 from np_data_validation_spark.plans.onepass import validate_onepass
 from np_data_validation_spark.schema import SEQUENCES
+
+
+def _rm_dir(spark: SparkSession, path: str) -> None:
+    """Filesystem-agnostic recursive delete via the Hadoop FS API (the
+    out_dir may be object storage, not the driver's local disk)."""
+    p = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        fs.delete(p, True)
 
 
 def validate_stream(
@@ -59,6 +70,10 @@ def validate_stream(
                 .partitionBy("_batch_id")
                 .parquet(os.path.join(out_dir, name))
             )
+        # scratch reclaim AFTER both sink writes committed: a crash before
+        # this point replays the batch (which recreates the dir, overwrite-
+        # idempotent); without it a long-running stream grows _work forever.
+        _rm_dir(spark, work)
 
     writer = (
         stream.writeStream.foreachBatch(process)

@@ -54,6 +54,20 @@ def test_glob_manifest(spark, tmp_path):
     assert rows == {"x.parquet": 5, "y.parquet": 3}
 
 
+def test_glob_manifest_hidden_fidelity(spark, tmp_path):
+    """Spark's file index drops '_'/'.'-prefixed paths; include_hidden=True
+    must recover them (full inventory fidelity, reference rglob parity)."""
+    (tmp_path / "x.parquet").write_bytes(b"12345")
+    (tmp_path / ".snap.parquet").write_bytes(b"12")
+    (tmp_path / "_staging").mkdir()
+    (tmp_path / "_staging" / "y.parquet").write_bytes(b"1234")
+    default = sources.glob_manifest(spark, str(tmp_path))
+    assert {r["name"] for r in default.collect()} == {"x.parquet"}  # documented loss
+    full = sources.glob_manifest(spark, str(tmp_path), include_hidden=True)
+    rows = {r["name"]: r["size"] for r in full.collect()}
+    assert rows == {"x.parquet": 5, ".snap.parquet": 2, "y.parquet": 4}
+
+
 def test_normalize_ids(spark):
     df = spark.createDataFrame(
         [("  DOC_A ", "SRC_X")], "doc_id string, source string"
@@ -100,6 +114,7 @@ def test_streaming_incremental_validation(spark, tmp_path):
     verdicts = spark.read.parquet(os.path.join(out, "verdicts"))
     assert verdicts.count() == 1
     assert verdicts.collect()[0]["row_status"] == "pass"
+    _assert_scratch_reclaimed(out)
 
     # batch 2: a corrupt file arrives -> only the new file is processed
     _seq_file(str(landing / "f2.parquet"), ["d2"], [[7, 8, 0]], "s2")
@@ -114,3 +129,12 @@ def test_streaming_incremental_validation(spark, tmp_path):
     assert violations.filter(
         (F.col("doc_id") == "d2") & (F.col("violation") == "CHECKSUM_MISMATCH")
     ).count() == 1
+    # bounded disk: every batch's scratch pair table was reclaimed after its
+    # sink writes committed — a long stream must not grow _work
+    _assert_scratch_reclaimed(out)
+
+
+def _assert_scratch_reclaimed(out: str) -> None:
+    work = os.path.join(out, "_work")
+    leftover = os.listdir(work) if os.path.isdir(work) else []
+    assert leftover == [], f"unreclaimed scratch batches: {leftover}"
