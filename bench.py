@@ -39,6 +39,8 @@ def main() -> None:
     from np_data_validation_spark import queries as Q
     from np_data_validation_spark.session import get_spark
 
+    # the 48M-row big run needs more heap than the 8g default at local[32]
+    os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
     spark = get_spark(app_name="npdv-bench", cpus=cpus)
     qs = Q.queries()
     timings: dict[str, float] = {}
@@ -66,21 +68,39 @@ def main() -> None:
     )
     timings["validate_full_pass"] = round(job["sec"], 3)
 
+    # Scale-growth evidence (VERDICT r2 #8): the SAME full pass at 6x the
+    # headline input, in the now-warm JVM. Reported as separate fields (not
+    # part of the headline total, which is compared round-over-round):
+    # seq/s at 48M vs 8M shows whether the derive phases stay flat as input
+    # grows. Skippable for quick local iteration via NPDV_BENCH_SKIP_BIG=1.
+    big = None
+    if not os.environ.get("NPDV_BENCH_SKIP_BIG"):
+        big_rows = int(os.environ.get("NPDV_BENCH_BIG_ROWS", "48000000"))
+        big_root = benchlib.ensure_bench_data(big_rows)
+        big = benchlib.run_validation_job(spark, big_root)
+
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_headline_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "validated_rows": job["rows"],
-                "validated_seq_per_sec": round(job["rows_per_sec"], 1),
-                "cpus": cpus,
-            }
-        )
-    )
+    out = {
+        "metric": "total_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "validated_rows": job["rows"],
+        "validated_seq_per_sec": round(job["rows_per_sec"], 1),
+        "cpus": cpus,
+    }
+    if big is not None:
+        out["big_run"] = {
+            "rows": big["rows"],
+            "sec": round(big["sec"], 3),
+            "seq_per_sec": round(big["rows_per_sec"], 1),
+            "phases": big["phases"],
+            "seq_per_sec_vs_headline": round(
+                big["rows_per_sec"] / job["rows_per_sec"], 3
+            ),
+        }
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -21,15 +21,17 @@ BENCH_SEED = 42
 BENCH_DATA_VERSION = "v4"  # v4: synth adds duplicate_mixed + renamed_null_ntok
 
 
-def bench_data_dir() -> str:
-    tag = f"{BENCH_DATA_VERSION}_{BENCH_ROWS}_{BENCH_MIN_LEN}_{BENCH_MAX_LEN}_{BENCH_SEED}"
+def bench_data_dir(rows: int | None = None) -> str:
+    rows = rows or BENCH_ROWS
+    tag = f"{BENCH_DATA_VERSION}_{rows}_{BENCH_MIN_LEN}_{BENCH_MAX_LEN}_{BENCH_SEED}"
     return os.path.join("/tmp", f"npdv_bench_{tag}")
 
 
-def ensure_bench_data() -> str:
+def ensure_bench_data(rows: int | None = None) -> str:
     """Generate (once) the deterministic snapshot+manifest at input_hint
     schema. Chunked generation keeps peak memory bounded."""
-    root = bench_data_dir()
+    rows = rows or BENCH_ROWS
+    root = bench_data_dir(rows)
     marker = os.path.join(root, "_COMPLETE")
     if os.path.exists(marker):
         return root
@@ -40,11 +42,11 @@ def ensure_bench_data() -> str:
 
     os.makedirs(root, exist_ok=True)
     chunk = 1_000_000
-    n_chunks = (BENCH_ROWS + chunk - 1) // chunk
+    n_chunks = (rows + chunk - 1) // chunk
     for part in ("sequences", "manifest"):
         os.makedirs(os.path.join(root, part), exist_ok=True)
     for ci in range(n_chunks):
-        n = min(chunk, BENCH_ROWS - ci * chunk)
+        n = min(chunk, rows - ci * chunk)
         seq, man, _ = synth.generate(
             n_rows=n,
             seed=BENCH_SEED + ci,
@@ -64,7 +66,7 @@ def ensure_bench_data() -> str:
                 # small row groups -> file splitting works at high parallelism
                 pq.write_table(sub, os.path.join(pdir, f"chunk-{ci}.parquet"), row_group_size=131072)
     with open(marker, "w") as f:
-        json.dump({"rows": BENCH_ROWS}, f)
+        json.dump({"rows": rows}, f)
     return root
 
 

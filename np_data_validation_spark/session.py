@@ -27,12 +27,15 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for the validation workload.
 
     ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all local cores. On a real
     cluster these settings ship unchanged via ``spark-submit --py-files``;
-    only ``master`` differs.
+    pass ``master="inherit"`` there so the master/deploy-mode chosen by
+    spark-submit is NOT overridden (the default builds a local[cpus]
+    session for tests and notebooks).
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -42,9 +45,11 @@ def get_spark(
         # AQE's advisory partition sizing.
         shuffle_partitions = max(2 * cpus, 8)
 
+    builder = SparkSession.builder.appName(app_name)
+    if master != "inherit":
+        builder = builder.master(master or f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
