@@ -232,11 +232,18 @@ def probe_pairs(
                  "m_doc_id", "m_source", "m_n_tok", "m_tok_hash")
         probed = found
         if include_unmatched:
-            unmatched = snap.join(
-                found.select("doc_id", "source").dropDuplicates(),
-                ["doc_id", "source"],
-                "left_anti",
-            )
+            # null-safe per-identity anti-join: identical to the shuffle
+            # branch's LEFT join semantics (each row stays missing unless
+            # its own content matched) — a subject-level (doc_id, source)
+            # exclusion would silently drop the unmatched identity of a
+            # mixed-content duplicate group.
+            ident = ["doc_id", "source", "n_tok", "tok_hash"]
+            found_ids = found.select(*ident).dropDuplicates()
+            cond = None
+            for c in ident:
+                e = snap[c].eqNullSafe(found_ids[c])
+                cond = e if cond is None else cond & e
+            unmatched = snap.join(found_ids, cond, "left_anti")
             probed = found.unionByName(_null_counterpart(unmatched))
     else:
         probed = choose_join(

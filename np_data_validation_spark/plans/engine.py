@@ -163,12 +163,16 @@ def materialize_pairs(
     found.write.mode("overwrite").parquet(probe_path)
     found_r = spark.read.parquet(probe_path)
     # rows the probe rescued keep their probe verdict; the rest keep their
-    # stage-1 MISSING_COUNTERPART row (anti-join against the tiny found set)
-    still_missing = missed.join(
-        found_r.select("doc_id", "source").dropDuplicates(),
-        ["doc_id", "source"],
-        "left_anti",
-    )
+    # stage-1 MISSING_COUNTERPART row. Null-safe per-identity anti-join
+    # against the tiny found set (see verdicts.probe_pairs: an identity
+    # stays missing unless its own content matched).
+    ident = ["doc_id", "source", "n_tok", "tok_hash"]
+    found_ids = found_r.select(*ident).dropDuplicates()
+    cond = None
+    for c in ident:
+        e = missed[c].eqNullSafe(found_ids[c])
+        cond = e if cond is None else cond & e
+    still_missing = missed.join(found_ids, cond, "left_anti")
     matched = s1.filter(F.col("verdict_code") != V.MISSING_COUNTERPART)
     return (
         matched.drop("n_tok_actual")

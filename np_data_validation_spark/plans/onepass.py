@@ -148,19 +148,20 @@ def probe_pairs_from(
         )
     else:
         found = withhash.join(m, F.col("tok_hash") == F.col("m_tok_hash"), "inner")
-    # Anti-join on the SUBJECT key (doc_id, source), not the full identity:
-    # (a) identity-level equality is null-unsafe, so a missed row with a null
-    # identity column (e.g. null n_tok) that content-matched would reappear
-    # in `still` and double-report (found pair + spurious MISSING row);
-    # (b) subject-level exclusion is validate_batch's probe semantics
-    # (verdicts.probe_pairs / engine.materialize_pairs anti-join on
-    # (doc_id, source)) — once ANY identity of a subject is content-found,
-    # the subject is no longer reported missing.
-    still = missed.join(
-        found.select("doc_id", "source").dropDuplicates(),
-        ["doc_id", "source"],
-        "left_anti",
-    ).select(
+    # NULL-SAFE anti-join on the full identity: each distinct identity stays
+    # MISSING unless ITS OWN content matched (per-identity probe semantics —
+    # a subject holding two identities where only one content-matches keeps
+    # a MISSING row for the other, exactly like validate_batch's left-join
+    # probe). Plain column-list equality would be null-unsafe: a missed row
+    # with a null identity column (e.g. null n_tok) that content-matched
+    # would reappear in `still` and double-report (found pair + spurious
+    # MISSING row).
+    found_ids = found.select(*IDENTITY_COLS).dropDuplicates()
+    anti_cond = None
+    for c in IDENTITY_COLS:
+        e = missed[c].eqNullSafe(found_ids[c])
+        anti_cond = e if anti_cond is None else anti_cond & e
+    still = missed.join(found_ids, anti_cond, "left_anti").select(
         *IDENTITY_COLS,
         "s_mult",
         F.lit(None).cast("string").alias("m_doc_id"),
