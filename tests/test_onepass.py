@@ -129,6 +129,25 @@ def test_probe_found_null_ntok_not_missing(seq_man, onepass_result):
     assert set(status.values()) == {"unknown"}, status
 
 
+def test_materialize_pairs_matches_classify_pairs(spark, frames, tmp_path):
+    """The write-once-derive alternative plan (engine.materialize_pairs)
+    must produce the same classified pair multiset as the in-memory plan —
+    including per-identity probe semantics on mixed-content duplicates and
+    null identity columns (both present in the fixture)."""
+    from np_data_validation_spark.functions.hashing import with_tok_hash
+    from np_data_validation_spark.operators import verdicts as V
+    from np_data_validation_spark.plans.engine import materialize_pairs
+
+    snapshot, manifest = frames
+    mat = materialize_pairs(spark, snapshot, manifest, str(tmp_path / "mat"))
+    ref = V.classify_pairs(with_tok_hash(snapshot), manifest, persist=True)
+    cols = ["doc_id", "source", "n_tok", "tok_hash",
+            "m_doc_id", "m_source", "m_n_tok", "m_tok_hash", "verdict_code"]
+    assert _sorted_rows(mat.select(*cols), cols) == _sorted_rows(
+        ref.select(*cols), cols
+    )
+
+
 def test_onepass_plan_shape(spark, frames):
     """The stage-1 plan must contain exactly two Exchanges (one per input
     side) — the identity pre-agg and the join reuse the doc_id
