@@ -32,6 +32,13 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+#: Qualification floor for committing BENCH/BASELINE.md: below either bound
+#: the job is fixed-cost dominated (the round-3 failure mode was a 2M-row
+#: --runs 1 smoke run committed OVER the gate evidence, reading 0.270) and
+#: the result measures nothing. Non-qualifying runs write BASELINE_SMOKE.md.
+GATE_MIN_ROWS = 48_000_000
+GATE_MIN_RUNS = 3
+
 WORKER = """
 import json, os, shutil, sys, time
 sys.path.insert(0, {repo!r})
@@ -253,6 +260,22 @@ All measured runs:
 Reproduce: `python BENCH/scaling.py --n {args.n} --xn {args.xn} --runs {args.runs} --reps {args.reps}`
 (bench data cached under /tmp).
 """
+    qualifies = args.runs >= GATE_MIN_RUNS and lo["rows"] >= GATE_MIN_ROWS
+    if not qualifies:
+        md = (
+            "# BENCH/BASELINE_SMOKE.md — NON-QUALIFYING smoke run "
+            f"(runs={args.runs} < {GATE_MIN_RUNS} or rows={lo['rows']:,} < "
+            f"{GATE_MIN_ROWS:,}); NOT gate evidence — see BASELINE.md\n\n" + md
+        )
+        with open(os.path.join(REPO, "BENCH", "BASELINE_SMOKE.md"), "w") as f:
+            f.write(md)
+        print(
+            f"smoke run (runs={args.runs}, rows={lo['rows']}): wrote "
+            "BENCH/BASELINE_SMOKE.md; BASELINE.md untouched (gate evidence "
+            f"requires runs>={GATE_MIN_RUNS} and rows>={GATE_MIN_ROWS})",
+            file=sys.stderr,
+        )
+        return
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print("wrote BENCH/BASELINE.md", file=sys.stderr)

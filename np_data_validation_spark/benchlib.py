@@ -70,6 +70,46 @@ def ensure_bench_data(rows: int | None = None) -> str:
     return root
 
 
+def run_validation_reps(
+    spark: SparkSession,
+    data_root: str,
+    reps: int = 4,
+    hash_method: str = "pandas_udf",
+) -> list[dict]:
+    """``reps`` in-JVM repetitions of the full validation job with inter-rep
+    hygiene (clearCache so plan-matched cache reuse can't fake repeats;
+    explicit System.gc() so the ContextCleaner reclaims dead tmpfs shuffle
+    files between reps). The FIRST rep of a fresh JVM pays JIT/codegen
+    warmup that a steady-state 10^12-row job amortizes in its first seconds
+    (measured ~1.7x here) — report a statistic over reps[1:], never rep 0
+    alone (the round-3 committed 'regression' was exactly that artifact)."""
+    import time as _time
+
+    results = []
+    for _ in range(reps):
+        results.append(run_validation_job(spark, data_root, hash_method=hash_method))
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        _time.sleep(1)
+    return results
+
+
+def warm_median(results: list[dict]) -> dict:
+    """Median-by-throughput rep among the warm reps (all but the first);
+    falls back to the only rep when reps == 1."""
+    import statistics as _st
+
+    warm = results[1:] or results
+    by_rps = sorted(warm, key=lambda r: r["rows_per_sec"])
+    med = by_rps[len(by_rps) // 2]
+    med = dict(med)
+    med["rows_per_sec"] = _st.median(r["rows_per_sec"] for r in warm)
+    med["sec"] = _st.median(r["sec"] for r in warm)
+    med["all_sec"] = [round(r["sec"], 3) for r in results]
+    med["cold_sec"] = round(results[0]["sec"], 3)
+    return med
+
+
 def run_validation_job(
     spark: SparkSession, data_root: str, hash_method: str = "pandas_udf"
 ) -> dict:

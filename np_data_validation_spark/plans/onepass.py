@@ -61,6 +61,10 @@ class OnepassResult:
     n_rows: int            # validated (doc_id, source) subjects
     n_missing: int         # subjects probed by content
     salt_buckets_used: int | None = None  # rollup salting engaged (auto/forced)
+    probe_salted: bool = False  # manifest-side salting engaged on the probe join
+    ids: DataFrame | None = None  # written identity table (one row per snapshot
+    #                               identity + s_mult) — checkpoint fingerprints
+    #                               derive from it with no payload rescan
 
 
 # ---------------------------------------------------------------------------
@@ -125,15 +129,37 @@ def pairs_stage1(
 
 
 def probe_pairs_from(
-    spark: SparkSession, s1: DataFrame, manifest: DataFrame, n_miss: int | None = None
-) -> tuple[DataFrame, int]:
+    spark: SparkSession,
+    s1: DataFrame,
+    manifest: DataFrame,
+    n_miss: int | None = None,
+    manifest_hot=None,
+) -> tuple[DataFrame, int, bool]:
     """Re-classify MISSING_COUNTERPART pairs by content (tok_hash equi-join
     against the manifest — the reference's scan-backups-then-checksum
     fallback, /root/reference/data_validation.py:1256-1266). Returns
-    (probed pair rows in PAIR_COLS shape, miss count). ``s1`` should be
-    backed by written files so the miss filter is a columnar scan.
+    (probed pair rows in PAIR_COLS shape, miss count, probe_salted). ``s1``
+    should be backed by written files so the miss filter is a columnar scan.
     ``n_miss``: pass the stage-1 observation when available (free); when
-    None the production path pays an explicit count."""
+    None the production path pays an explicit count.
+
+    Skew on the probe key: a mass-duplicated corpus (boilerplate content ->
+    one tok_hash carried by millions of MANIFEST rows) funnels the shuffle
+    branch into one reducer. ``manifest_hot`` (bool, or a 0-arg callable for
+    a concurrently-computed detection — validate_onepass hides the narrow
+    manifest scan behind stage 1) engages a salted join with the manifest as
+    the salted fact side and the missed side replicated ``buckets``-fold:
+    the hot hash's manifest rows spread across buckets while the missed side
+    (already > PROBE_BROADCAST_MAX to be here, so bounded) replicates. When
+    None, the shuffle branch detects inline (operators.skew.detect_hot_keys
+    — scale-free bucket probe). Skew on the MISSED side's tok_hash is the
+    mirror case; salting it would explode the manifest buckets-fold
+    (manifest-wide blowup), so AQE skew-join splitting — enabled
+    session-wide (session.py) — is the designated handler there: the
+    un-hinted inner join lets AQE split the hot missed partition and
+    replicate the matching manifest rows."""
+    from np_data_validation_spark.operators import skew as SK
+
     missed = s1.filter(F.col("verdict_code") == V.MISSING_COUNTERPART).drop(
         "m_doc_id", "m_source", "m_n_tok", "m_tok_hash", "verdict_code"
     )
@@ -141,13 +167,37 @@ def probe_pairs_from(
         n_miss = missed.count()
     withhash = missed.filter(F.col("tok_hash").isNotNull())
     m = _manifest_m(manifest).filter(F.col("m_tok_hash").isNotNull())
+    probe_salted = False
     if n_miss <= V.PROBE_BROADCAST_MAX:
         # broadcast the tiny missed side; the manifest is only scanned
+        # (map-side hash lookup — manifest-side skew is irrelevant here,
+        # no shuffle partitions exist to funnel)
         found = m.join(
             F.broadcast(withhash), F.col("tok_hash") == F.col("m_tok_hash"), "inner"
         )
     else:
-        found = withhash.join(m, F.col("tok_hash") == F.col("m_tok_hash"), "inner")
+        if callable(manifest_hot):
+            manifest_hot = manifest_hot()
+        if manifest_hot is None:
+            # detect on the RAW manifest column (pre-dedup): hot-after-dedup
+            # implies hot-before; the overestimate can only engage salting
+            # spuriously (perf, never correctness)
+            manifest_hot = SK.detect_hot_keys(
+                manifest.select("tok_hash"), ("tok_hash",)
+            )
+        if manifest_hot:
+            m2 = m.withColumn("_pk", F.col("m_tok_hash"))
+            w2 = withhash.withColumn("_pk", F.col("tok_hash"))
+            found = SK.salted_join(
+                m2,
+                w2,
+                on=["_pk"],
+                how="inner",
+                entropy_cols=["m_doc_id", "m_source", "m_n_tok", "m_tok_hash"],
+            ).drop("_pk")
+            probe_salted = True
+        else:
+            found = withhash.join(m, F.col("tok_hash") == F.col("m_tok_hash"), "inner")
     # NULL-SAFE anti-join on the full identity: each distinct identity stays
     # MISSING unless ITS OWN content matched (per-identity probe semantics —
     # a subject holding two identities where only one content-matches keeps
@@ -170,7 +220,11 @@ def probe_pairs_from(
         F.lit(None).cast("long").alias("m_tok_hash"),
     )
     probed = found.select(*IDENTITY_COLS, "s_mult", "m_doc_id", "m_source", "m_n_tok", "m_tok_hash").unionByName(still)
-    return probed.withColumn("verdict_code", V.classify_expr()).select(*PAIR_COLS), n_miss
+    return (
+        probed.withColumn("verdict_code", V.classify_expr()).select(*PAIR_COLS),
+        n_miss,
+        probe_salted,
+    )
 
 
 def merged_pairs(s1: DataFrame, probed: DataFrame) -> DataFrame:
@@ -436,6 +490,8 @@ def validate_onepass(
     plan change on well-distributed input. Pass an int to force, None to
     disable. ``skew_ratio`` / ``skew_min_hot_rows`` override the detector
     thresholds (mainly for tests)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql import Observation
 
     from np_data_validation_spark.operators import skew as SK
@@ -448,24 +504,33 @@ def validate_onepass(
         df.write.mode("overwrite").parquet(path)
         return spark.read.schema(df.schema).parquet(path)
 
-    # the miss count rides the stage-1 write as an observation (no extra job)
-    obs = Observation("onepass_stage1")
-    s1_obs = pairs_stage1(snapshot, manifest, hash_method).observe(
-        obs,
-        F.sum(
-            F.when(F.col("verdict_code") == V.MISSING_COUNTERPART, 1).otherwise(0)
-        ).alias("n_missing"),
-    )
-    s1 = write_read(s1_obs, "pairs_stage1")
-    n_miss = int(obs.get["n_missing"] or 0)
-    probed, n_miss = probe_pairs_from(spark, s1, manifest, n_miss=n_miss)
-    # identities (uniqueness/schema/stats input) and the probe table are
-    # independent given the written s1 — submit both writes concurrently
-    # (Spark schedules concurrent jobs from separate threads), hiding one
-    # job's latency behind the other's.
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    pool = ThreadPoolExecutor(max_workers=4)
+    try:
+        # Probe-key skew detection (manifest side of the tok_hash content
+        # probe) rides CONCURRENTLY with the big stage-1 write: a narrow
+        # one-column manifest scan whose latency hides behind the payload
+        # pass. Its result is consumed only if the probe takes the shuffle
+        # branch (miss set too big to broadcast).
+        mhot_f = pool.submit(
+            SK.detect_hot_keys, manifest.select("tok_hash"), ("tok_hash",)
+        )
+        # the miss count rides the stage-1 write as an observation (no extra job)
+        obs = Observation("onepass_stage1")
+        s1_obs = pairs_stage1(snapshot, manifest, hash_method).observe(
+            obs,
+            F.sum(
+                F.when(F.col("verdict_code") == V.MISSING_COUNTERPART, 1).otherwise(0)
+            ).alias("n_missing"),
+        )
+        s1 = write_read(s1_obs, "pairs_stage1")
+        n_miss = int(obs.get["n_missing"] or 0)
+        probed, n_miss, probe_salted = probe_pairs_from(
+            spark, s1, manifest, n_miss=n_miss, manifest_hot=mhot_f.result
+        )
+        # identities (uniqueness/schema/stats input) and the probe table are
+        # independent given the written s1 — submit both writes concurrently
+        # (Spark schedules concurrent jobs from separate threads), hiding one
+        # job's latency behind the other's.
         ids_f = pool.submit(write_read, identity_rows(s1), "identities")
         probe_f = pool.submit(write_read, probed, "pairs_probe")
         if salt_buckets == "auto":
@@ -475,10 +540,21 @@ def validate_onepass(
             if skew_min_hot_rows is not None:
                 kw["min_hot_rows"] = skew_min_hot_rows
             skew_f = pool.submit(SK.detect_hot_keys, s1, ("doc_id", "source"), **kw)
+            # The rollup aggregates the MERGED table (stage-1 hits + probe
+            # output), but stage-1 detection can't see a hot key CREATED by
+            # probe fan-out (one missed identity content-matching many
+            # manifest rows). Chain a second detection over the written
+            # probe table — tiny relative to s1, so the extra job is cheap.
+            probe_skew_f = pool.submit(
+                lambda: SK.detect_hot_keys(probe_f.result(), ("doc_id", "source"), **kw)
+            )
         ids = ids_f.result()
         merged = merged_pairs(s1, probe_f.result())
         if salt_buckets == "auto":
-            salt_buckets = SK.DEFAULT_SALT_BUCKETS if skew_f.result() else None
+            hot = skew_f.result() or probe_skew_f.result()
+            salt_buckets = SK.DEFAULT_SALT_BUCKETS if hot else None
+    finally:
+        pool.shutdown(wait=True)
     rolled = write_read(rollup_pairs(merged, salt_buckets=salt_buckets), "rolled")
     return OnepassResult(
         rolled=rolled.select(*ROLLED_PUBLIC_COLS),
@@ -487,4 +563,6 @@ def validate_onepass(
         n_rows=rolled.count(),
         n_missing=n_miss,
         salt_buckets_used=salt_buckets,
+        probe_salted=probe_salted,
+        ids=ids,
     )

@@ -49,7 +49,8 @@ def test_probe_broadcasts_missed_side(spark, seq_man, tmp_path):
     s1_path = str(tmp_path / "s1")
     onepass.pairs_stage1(seq, man).write.parquet(s1_path)
     s1 = spark.read.parquet(s1_path)
-    probed, n_miss = onepass.probe_pairs_from(spark, s1, man)
+    probed, n_miss, probe_salted = onepass.probe_pairs_from(spark, s1, man)
+    assert probe_salted is False
     assert n_miss > 0
     assert "BroadcastHashJoin" in _plan(probed)
 

@@ -110,3 +110,77 @@ def test_choose_join_strategies(spark):
         left, right, ["k"], "inner", strategy="broadcast"
     )._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+def _mass_dup_manifest(spark, n_missed=300, hot_copies=500):
+    """VERDICT-r3 #3 fixture: every snapshot identity misses stage 1 (no
+    doc_id counterparts), and the manifest's content-hash column is skewed —
+    ONE tok_hash (mass-duplicated boilerplate) carries ``hot_copies`` rows,
+    so the content probe's shuffle join on tok_hash would funnel into one
+    reducer without a guard."""
+    rows = [(f"m{i:05d}", [1, 2, i], 3, "src_a") for i in range(n_missed)]
+    snap = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    hashed = with_tok_hash(snap).select("doc_id", "source", "n_tok", "tok_hash").collect()
+    boiler = next(r["tok_hash"] for r in hashed if r["doc_id"] == "m00000")
+    # renamed content counterparts for half the misses + the hot boilerplate
+    man_rows = [
+        (f"r{i:05d}", r["n_tok"], r["tok_hash"], "src_b")
+        for i, r in enumerate(sorted(hashed, key=lambda r: r["doc_id"]))
+        if i % 2 == 0
+    ]
+    man_rows += [(f"b{j:05d}", 3, boiler, "src_b") for j in range(hot_copies)]
+    man = spark.createDataFrame(
+        man_rows, "doc_id string, n_tok int, tok_hash long, source string"
+    )
+    return snap, man
+
+
+def test_probe_manifest_hot_detection(spark):
+    """The scale-free bucket probe sees the mass-duplicated manifest hash."""
+    snap, man = _mass_dup_manifest(spark)
+    assert skew.detect_hot_keys(
+        man.select("tok_hash"), ("tok_hash",), ratio=4.0, min_hot_rows=50
+    )
+    cold = man.filter(~F.col("doc_id").startswith("b"))
+    assert not skew.detect_hot_keys(
+        cold.select("tok_hash"), ("tok_hash",), ratio=4.0, min_hot_rows=50
+    )
+
+
+def test_probe_manifest_salting_matches_plain(spark, tmp_path):
+    """Salted probe join (manifest = salted fact side, missed side
+    replicated) is row-for-row identical to the plain shuffle join."""
+    from np_data_validation_spark.operators import verdicts as V
+
+    snap, man = _mass_dup_manifest(spark)
+    s1_path = str(tmp_path / "s1")
+    onepass.pairs_stage1(snap, man).write.parquet(s1_path)
+    s1 = spark.read.parquet(s1_path)
+    forced = V.PROBE_BROADCAST_MAX + 1  # force the shuffle branch
+    salted, _, sflag = onepass.probe_pairs_from(
+        spark, s1, man, n_miss=forced, manifest_hot=True
+    )
+    plain, _, pflag = onepass.probe_pairs_from(
+        spark, s1, man, n_miss=forced, manifest_hot=False
+    )
+    assert sflag and not pflag
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(salted) == key(plain)
+
+
+def test_onepass_salting_engages_on_probe_fanout(spark, tmp_path):
+    """ADVICE r3: a hot rollup key CREATED by probe fan-out (one missed
+    identity content-matching many manifest rows) is invisible to stage-1
+    detection; the chained detection over the written probe table must
+    engage the salted rollup anyway."""
+    snap, man = _mass_dup_manifest(spark)
+    res = onepass.validate_onepass(
+        spark, snap, man, str(tmp_path / "pf"),
+        skew_ratio=4.0, skew_min_hot_rows=50,
+    )
+    assert res.salt_buckets_used == skew.DEFAULT_SALT_BUCKETS
+    # the s1-only detector alone would NOT have engaged (uniform stage 1)
+    s1 = spark.read.parquet(str(tmp_path / "pf" / "pairs_stage1"))
+    assert not skew.detect_hot_keys(s1, ("doc_id", "source"), ratio=4.0, min_hot_rows=50)
