@@ -51,9 +51,26 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--commit-batch", type=int, default=None,
                     help="partitions per state commit (default: all in one job)")
     ap.add_argument("--hash-method", default="pandas_udf")
+    ap.add_argument("--keep-audit", type=int, default=None,
+                    help="retain at most N batch pair-table audit dirs under "
+                         "<out>/_work (default: keep all)")
     ap.add_argument("--stream", action="store_true",
                     help="treat --snapshot as a streaming landing directory")
     args = ap.parse_args(argv)
+
+    if args.stream:
+        # batch-only flags silently doing nothing under --stream is a trap:
+        # a user combining them believes they took effect
+        batch_only = {
+            "--no-resume": args.no_resume,
+            "--content-aware": args.content_aware,
+            "--commit-batch": args.commit_batch is not None,
+            "--keep-audit": args.keep_audit is not None,
+        }
+        bad = [f for f, v in batch_only.items() if v]
+        if bad:
+            ap.error(f"{', '.join(bad)} only apply to batch mode, not --stream "
+                     "(streaming manages its own checkpoints and scratch reclaim)")
 
     from np_data_validation_spark.session import get_spark
 
@@ -81,6 +98,7 @@ def main(argv: list[str] | None = None) -> int:
         commit_batch=args.commit_batch,
         hash_method=args.hash_method,
         content_aware=args.content_aware,
+        keep_audit=args.keep_audit,
     )
     print(
         json.dumps(

@@ -105,7 +105,9 @@ def write_state_rows(
 
 
 def input_fingerprints(
-    snapshot: DataFrame, content_aware: bool = False
+    snapshot: DataFrame,
+    content_aware: bool = False,
+    hash_method: str = "pandas_udf",
 ) -> dict[str, str]:
     """Per-partition input fingerprint for resume gating.
 
@@ -115,10 +117,21 @@ def input_fingerprints(
     (same rows, same lengths, same ids — the engine's primary detection
     target) leaves this fingerprint unchanged, so a resumed run skips the
     partition as done. Set ``content_aware=True`` to fold a payload hash
-    (JVM xxhash64 over the token arrays — full payload scan, roughly the
-    cost of the validation pass itself) into the fingerprint; use it when
-    checkpoints must be invalidated by silent payload mutation rather than
-    by new/changed rows.
+    into the fingerprint (one full payload scan — roughly the cost of the
+    validation pass itself); use it when checkpoints must be invalidated by
+    silent payload mutation rather than by new/changed rows.
+
+    The content component is ``bit_xor(xxhash64(doc_id, tok_hash))`` with
+    ``tok_hash`` being the engine's OWN validation hash of the token array:
+
+    * identity and content are hashed JOINTLY, so a silent cross-row SWAP of
+      token payloads within a partition (every per-column aggregate
+      unchanged) still changes the fingerprint — a content-only xor
+      (``bit_xor(xxhash64(tokens))``) is permutation-blind;
+    * the exact same value is derivable from the one-pass plan's written
+      identity table (``fingerprints_from_identities``), so a first run
+      records content-aware fingerprints with ZERO extra payload scans —
+      the validation pass itself is the fingerprint scan.
     """
     aggs = [
         F.count(F.lit(1)).alias("n"),
@@ -126,9 +139,65 @@ def input_fingerprints(
         # xor-fold: order-independent, overflow-free under ANSI mode
         F.expr("bit_xor(xxhash64(doc_id))").alias("h"),
     ]
+    src = snapshot
     if content_aware:
-        aggs.append(F.expr("bit_xor(xxhash64(tokens))").alias("c"))
-    rows = snapshot.groupBy("source").agg(*aggs).collect()
+        from np_data_validation_spark.functions.hashing import with_tok_hash
+
+        src = with_tok_hash(snapshot, method=hash_method)
+        aggs.append(F.expr("bit_xor(xxhash64(doc_id, tok_hash))").alias("c"))
+    rows = src.groupBy("source").agg(*aggs).collect()
     if content_aware:
         return {r["source"]: f"{r['n']}:{r['s']}:{r['h']}:{r['c']}" for r in rows}
     return {r["source"]: f"{r['n']}:{r['s']}:{r['h']}" for r in rows}
+
+
+def content_fingerprints(
+    snapshot: DataFrame, partitions: list[str], hash_method: str = "pandas_udf"
+) -> dict[str, str]:
+    """Content-aware fingerprints for a SUBSET of partitions (partition-
+    pruned payload scan). Resume gating only re-hashes partitions that have
+    a plausible 'done' checkpoint; everything else is validated anyway and
+    gets its fingerprint for free from the pair table."""
+    sub = snapshot.filter(F.col("source").isin(list(partitions)))
+    return input_fingerprints(sub, content_aware=True, hash_method=hash_method)
+
+
+def fingerprints_from_identities(ids: DataFrame) -> dict[str, str]:
+    """Post-validation content-aware fingerprints derived from the one-pass
+    identity table (doc_id, source, n_tok, tok_hash, s_mult) — ZERO payload
+    rescan (round-3 advice: content-aware first runs previously paid two
+    full payload scans, one for the fingerprint and one for validation).
+
+    Exactly equals ``input_fingerprints(content_aware=True)`` on the same
+    input: a value xor-folded over raw rows equals the xor over identities
+    of that value taken when s_mult is ODD (even multiplicities cancel in
+    xor; identities sharing a hashed value compose associatively)."""
+    mult = F.col("s_mult")
+    rows = (
+        ids.groupBy("source")
+        .agg(
+            F.sum(mult).alias("n"),
+            F.sum(F.col("n_tok").cast("long") * mult).alias("s"),
+            F.expr(
+                "bit_xor(CASE WHEN s_mult % 2 = 1 THEN xxhash64(doc_id) ELSE 0L END)"
+            ).alias("h"),
+            F.expr(
+                "bit_xor(CASE WHEN s_mult % 2 = 1"
+                " THEN xxhash64(doc_id, tok_hash) ELSE 0L END)"
+            ).alias("c"),
+        )
+        .collect()
+    )
+    return {r["source"]: f"{r['n']}:{r['s']}:{r['h']}:{r['c']}" for r in rows}
+
+
+def recorded_lineage(spark: SparkSession, out_dir: str) -> dict[str, dict]:
+    """Latest 'done' lineage dict per partition (empty on no/bad state)."""
+    rows = read_state(spark, out_dir).filter(F.col("status") == "done").collect()
+    out: dict[str, dict] = {}
+    for r in rows:
+        try:
+            out[r["partition"]] = json.loads(r["lineage"] or "{}")
+        except json.JSONDecodeError:
+            continue
+    return out

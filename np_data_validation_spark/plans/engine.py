@@ -20,6 +20,7 @@ Scale shape per batch (SURVEY.md §3.1 Spark restatement):
 from __future__ import annotations
 
 import os
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -209,6 +210,38 @@ def _clear_partitions(spark: SparkSession, base: str, partitions: list[str]) -> 
             fs.delete(path, True)
 
 
+def _prune_audit_dirs(work_root: str, keep: int) -> None:
+    """Bounded pair-level audit trail: keep the ``keep`` most recent batch
+    work dirs (by mtime, across runs), delete older ones AFTER the state
+    commit — mirrors streaming's post-commit scratch reclaim
+    (streaming/incremental.py). Legacy flat ``batch=*`` dirs from runs
+    before run-scoping count as candidates too."""
+    import shutil
+
+    if not os.path.isdir(work_root):
+        return
+    cands = []
+    for name in os.listdir(work_root):
+        p = os.path.join(work_root, name)
+        if not os.path.isdir(p):
+            continue
+        if name.startswith("run="):
+            cands.extend(
+                bp
+                for b in os.listdir(p)
+                if os.path.isdir(bp := os.path.join(p, b))
+            )
+        else:
+            cands.append(p)
+    cands.sort(key=os.path.getmtime, reverse=True)
+    for stale in cands[max(keep, 0):]:
+        shutil.rmtree(stale, ignore_errors=True)
+    for name in os.listdir(work_root):
+        p = os.path.join(work_root, name)
+        if name.startswith("run=") and os.path.isdir(p) and not os.listdir(p):
+            os.rmdir(p)
+
+
 def run_validation(
     spark: SparkSession,
     snapshot_path: str,
@@ -219,6 +252,7 @@ def run_validation(
     hash_method: str = "pandas_udf",
     join_strategy: str = "auto",
     content_aware: bool = False,
+    keep_audit: int | None = None,
 ) -> RunResult:
     """Validate all pending partitions of ``snapshot_path`` and commit
     results + state under ``out_dir``.
@@ -232,26 +266,58 @@ def run_validation(
     fingerprint AND code_version both match (see plans.checkpoint). The
     default fingerprint is metadata-cheap (count + n_tok sum + doc_id
     hash-sum) and does NOT see content-only token corruption in an
-    already-validated partition; ``content_aware=True`` folds a payload
-    hash into the fingerprint (one extra full-payload scan — roughly the
-    cost of validating — the reference's re-checksum doctrine,
-    /root/reference/data_validation.py:487-496), so silently mutated
-    partitions re-validate instead of being skipped. Fingerprints of the
-    two modes are incompatible by construction (different shapes), so
-    switching modes re-validates everything once.
+    already-validated partition; ``content_aware=True`` folds the engine's
+    own payload hash into the fingerprint (the reference's re-checksum
+    doctrine, /root/reference/data_validation.py:487-496), so silently
+    mutated partitions re-validate instead of being skipped. Scan costs are
+    minimal by construction: a FIRST run derives the content fingerprint
+    from the validation pass's own identity table (ONE payload scan per
+    partition total); a RESUME re-hashes only partitions holding a
+    plausible 'done' checkpoint (cheap-prefix prefilter) — the unavoidable
+    current-content read. Fingerprints of the two modes are incompatible by
+    construction (different shapes), so switching modes re-validates
+    everything once.
+
+    ``keep_audit``: retain at most this many batch-level pair-table audit
+    dirs under ``<out>/_work`` (most recent by mtime, across runs), pruning
+    older ones after each state commit. None (default) keeps everything.
+    Work dirs are scoped ``_work/run=<run_id>/batch=<n>`` so re-validated
+    partitions never leave a stale pair table masquerading as current: the
+    latest run's dirs are the authoritative audit trail.
     """
     from np_data_validation_spark.plans.onepass import validate_onepass
 
     snapshot = spark.read.parquet(snapshot_path)
     manifest = spark.read.parquet(manifest_path)
 
-    fps = CP.input_fingerprints(snapshot, content_aware=content_aware)
+    # cheap fingerprints for every partition: one light scan, no payload
+    fps = CP.input_fingerprints(snapshot)
     all_parts = sorted(fps)
-    done = (
-        CP.done_partitions(spark, out_dir, fps, code_version=CODE_VERSION)
-        if resume
-        else set()
-    )
+    done: set[str] = set()
+    if resume:
+        if content_aware:
+            # Only partitions with a PLAUSIBLE done checkpoint (matching
+            # code_version, content-shaped recorded fingerprint whose cheap
+            # prefix matches the current cheap fingerprint) pay the payload
+            # re-hash; every other partition re-validates, and its content
+            # fingerprint falls out of the validation pass itself.
+            lineages = CP.recorded_lineage(spark, out_dir)
+            cand = [
+                p
+                for p, lin in lineages.items()
+                if p in fps
+                and lin.get("code_version") == CODE_VERSION
+                and str(lin.get("input_fingerprint", "")).count(":") == 3
+                and str(lin["input_fingerprint"]).rsplit(":", 1)[0] == fps[p]
+            ]
+            gate_fps = (
+                CP.content_fingerprints(snapshot, cand, hash_method) if cand else {}
+            )
+            done = CP.done_partitions(
+                spark, out_dir, gate_fps, code_version=CODE_VERSION
+            )
+        else:
+            done = CP.done_partitions(spark, out_dir, fps, code_version=CODE_VERSION)
     pending = [p for p in all_parts if p not in done]
 
     result = RunResult(run_id="", validated_partitions=[], skipped_partitions=sorted(done))
@@ -264,18 +330,19 @@ def run_validation(
         if commit_batch is None
         else [pending[i : i + commit_batch] for i in range(0, len(pending), commit_batch)]
     )
-    for batch in batches:
+    run_id = uuid.uuid4().hex
+    for bi, batch in enumerate(batches):
         # partition pruning: only pending sources are scanned
         snap_b = snapshot.filter(F.col("source").isin(batch))
         # one-pass plan: payload scanned once into the batch's pair table;
         # rollup, violations and stats derive from it without payload
-        # rescans. The work dir is scoped per batch (first partition of the
-        # batch names it) so a multi-batch run keeps EVERY batch's pair
-        # table as the pair-level audit trail — a shared dir would be
-        # overwritten by each subsequent batch.
+        # rescans. Work dirs are run+batch scoped (never partition-value
+        # named: values would flow unsanitized into paths, and a partition
+        # re-validated in a differently-composed later batch would leave a
+        # stale table under its old batch dir).
         res = validate_onepass(
             spark, snap_b, manifest,
-            os.path.join(out_dir, "_work", f"batch={batch[0]}"),
+            os.path.join(out_dir, "_work", f"run={run_id}", f"batch={bi}"),
             hash_method=hash_method,
         )
         rolled, violations = res.rolled, res.violations
@@ -289,7 +356,12 @@ def run_validation(
         violations.withColumn("_part", F.col("source")).write.mode(
             "overwrite"
         ).partitionBy("_part").parquet(os.path.join(out_dir, "violations"))
-        # 2) state rows LAST (the commit point)
+        # 2) state rows LAST (the commit point). Content-aware fingerprints
+        #    derive from the batch's written identity table — no payload
+        #    rescan (plans.checkpoint.fingerprints_from_identities).
+        batch_fps = (
+            CP.fingerprints_from_identities(res.ids) if content_aware else fps
+        )
         metrics = _partition_metrics(rolled, violations)
         state_rows = [
             {
@@ -297,7 +369,7 @@ def run_validation(
                 "status": "done",
                 "metrics": metrics.get(p, {"rows": 0}),
                 "lineage": {
-                    "input_fingerprint": fps[p],
+                    "input_fingerprint": batch_fps.get(p, fps[p]),
                     "code_version": CODE_VERSION,
                     "snapshot_path": snapshot_path,
                     "manifest_path": manifest_path,
@@ -305,10 +377,13 @@ def run_validation(
             }
             for p in batch
         ]
-        run_id = CP.write_state_rows(spark, out_dir, state_rows)
+        CP.write_state_rows(spark, out_dir, state_rows, run_id=run_id)
         result.run_id = run_id
         result.validated_partitions.extend(batch)
         result.metrics.update(metrics)
+        # 3) bounded audit trail (post-commit, like streaming's reclaim)
+        if keep_audit is not None:
+            _prune_audit_dirs(os.path.join(out_dir, "_work"), keep_audit)
 
     # global manifest audit (once per run; overwrites prior audit)
     manifest_audit(snapshot, manifest).write.mode("overwrite").parquet(

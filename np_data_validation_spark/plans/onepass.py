@@ -555,12 +555,21 @@ def validate_onepass(
             salt_buckets = SK.DEFAULT_SALT_BUCKETS if hot else None
     finally:
         pool.shutdown(wait=True)
-    rolled = write_read(rollup_pairs(merged, salt_buckets=salt_buckets), "rolled")
+    # subject count rides the rolled write as an observation — the extra
+    # count job it replaces is pure driver-serial fixed cost (scale-neutral
+    # work hurts high-parallelism efficiency twice as hard)
+    robs = Observation("onepass_rolled")
+    rolled = write_read(
+        rollup_pairs(merged, salt_buckets=salt_buckets).observe(
+            robs, F.count(F.lit(1)).alias("n_rows")
+        ),
+        "rolled",
+    )
     return OnepassResult(
         rolled=rolled.select(*ROLLED_PUBLIC_COLS),
         violations=all_violations(merged, ids),
         stats=stats_from_identities(ids),
-        n_rows=rolled.count(),
+        n_rows=int(robs.get["n_rows"] or 0),
         n_missing=n_miss,
         salt_buckets_used=salt_buckets,
         probe_salted=probe_salted,

@@ -130,7 +130,12 @@ def glob_manifest(
     distributed-walk path with full fidelity: first-level entries are
     listed on the driver (one readdir), then each subtree is walked inside
     executors. The walk needs ``root`` visible on executor filesystems
-    (local/NFS mounts — exactly the reference's local-dir use case).
+    (local/NFS mounts — exactly the reference's local-dir use case): a
+    non-file URI scheme raises up front rather than failing obscurely on
+    executors, paths come back as ``file:`` URIs exactly like the default
+    branch (consistent downstream path handling), and files deleted
+    mid-walk are skipped instead of failing the task (live directories are
+    the norm for a landing area).
     """
     if not include_hidden:
         listing = (
@@ -146,17 +151,40 @@ def glob_manifest(
         )
         return listing.filter(F.col("name").rlike(name_rlike))
 
-    top = sorted(os.path.join(root, e) for e in os.listdir(root))
+    local = root
+    if "://" in root:
+        scheme, _, rest = root.partition("://")
+        if scheme != "file":
+            raise ValueError(
+                f"glob_manifest(include_hidden=True) walks executor-local "
+                f"filesystems only (local/NFS mounts); got scheme {scheme!r}. "
+                f"Use include_hidden=False (Hadoop FS listing) for {root!r}."
+            )
+        local = "/" + rest.lstrip("/")
+    elif root.startswith("file:"):
+        local = root[len("file:"):]
+    top = sorted(os.path.join(local, e) for e in os.listdir(local))
 
     def walk(paths):
+        def emit(fp):
+            # a file deleted between listing and stat must not fail the
+            # task — yield nothing for it (the default branch's Hadoop
+            # listing has the same live-directory tolerance)
+            try:
+                size = os.path.getsize(fp)
+            except OSError:
+                return None
+            return (os.path.basename(fp), "file:" + os.path.abspath(fp), size)
+
         for p in paths:
             if os.path.isfile(p):
-                yield (os.path.basename(p), p, os.path.getsize(p))
+                if (row := emit(p)) is not None:
+                    yield row
                 continue
             for r, _dirs, files in os.walk(p):
                 for f in files:
-                    fp = os.path.join(r, f)
-                    yield (f, fp, os.path.getsize(fp))
+                    if (row := emit(os.path.join(r, f))) is not None:
+                        yield row
 
     rdd = spark.sparkContext.parallelize(top, max(len(top), 1)).mapPartitions(walk)
     listing = spark.createDataFrame(rdd, "name string, path string, size long")

@@ -149,3 +149,126 @@ def test_manifest_audit_written(spark, synth_dataset, out_dir):
     mv = spark.read.parquet(os.path.join(out_dir, "manifest_violations"))
     classes = {r["violation"] for r in mv.select("violation").distinct().collect()}
     assert classes == {"INCONSISTENT_GROUP", "MISSING_IN_SNAPSHOT"}
+
+
+def test_fingerprints_from_identities_match_direct(spark, synth_dataset, tmp_path):
+    """The content fingerprint derived from the one-pass identity table
+    (zero payload rescan) must EXACTLY equal the direct payload-scan
+    fingerprint — odd/even multiplicities, nulls and duplicate fault
+    classes included (the synth fixture injects them all). Any drift here
+    would make every content-aware resume re-validate everything."""
+    from np_data_validation_spark.plans.onepass import validate_onepass
+
+    root, _ = synth_dataset
+    seq = spark.read.parquet(os.path.join(root, "sequences"))
+    man = spark.read.parquet(os.path.join(root, "manifest"))
+    res = validate_onepass(spark, seq, man, str(tmp_path / "w"))
+    derived = CP.fingerprints_from_identities(res.ids)
+    direct = CP.input_fingerprints(seq, content_aware=True)
+    assert derived == direct
+
+
+def test_content_aware_fingerprint_sees_payload_permutation(spark):
+    """ADVICE r3: a silent cross-row SWAP of token payloads leaves every
+    per-column aggregate unchanged; hashing identity and content jointly
+    (xxhash64(doc_id, tok_hash)) must still change the fingerprint."""
+    a = spark.createDataFrame(
+        [("d1", [1, 2, 3], 3, "s"), ("d2", [9, 8, 7], 3, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    swapped = spark.createDataFrame(
+        [("d1", [9, 8, 7], 3, "s"), ("d2", [1, 2, 3], 3, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    fa = CP.input_fingerprints(a, content_aware=True)
+    fb = CP.input_fingerprints(swapped, content_aware=True)
+    assert fa != fb
+    # the cheap fingerprint is blind to the swap by design (documents why
+    # content_aware exists)
+    assert CP.input_fingerprints(a) == CP.input_fingerprints(swapped)
+
+
+def test_content_aware_first_run_has_no_fingerprint_prescan(
+    spark, synth_dataset, tmp_path, monkeypatch
+):
+    """VERDICT r3 #4: a content-aware FIRST run must not pre-scan the
+    payload for fingerprints (they derive from the validation pass's own
+    identity table); a resume re-hashes only plausible done partitions."""
+    root, _ = synth_dataset
+    snap_p = os.path.join(root, "sequences")
+    man_p = os.path.join(root, "manifest")
+    out = str(tmp_path / "out")
+
+    calls = []
+    orig = CP.content_fingerprints
+
+    def spy(snapshot, partitions, hash_method="pandas_udf"):
+        calls.append(sorted(partitions))
+        return orig(snapshot, partitions, hash_method)
+
+    monkeypatch.setattr(CP, "content_fingerprints", spy)
+
+    r1 = E.run_validation(spark, snap_p, man_p, out, content_aware=True)
+    assert calls == []  # ZERO fingerprint payload scans on the first run
+    assert len(r1.validated_partitions) == 4
+
+    r2 = E.run_validation(spark, snap_p, man_p, out, content_aware=True)
+    # resume: exactly one partition-pruned content scan over the done set
+    assert calls == [sorted(r1.validated_partitions)]
+    assert r2.validated_partitions == []
+    assert sorted(r2.skipped_partitions) == sorted(r1.validated_partitions)
+
+
+def test_mode_switch_revalidates(spark, synth_dataset, tmp_path):
+    """Cheap-mode checkpoints must not satisfy a content-aware resume (and
+    vice versa): the two fingerprint shapes are incompatible by design."""
+    root, _ = synth_dataset
+    snap_p = os.path.join(root, "sequences")
+    man_p = os.path.join(root, "manifest")
+    out = str(tmp_path / "out")
+    r1 = E.run_validation(spark, snap_p, man_p, out)  # cheap mode
+    r2 = E.run_validation(spark, snap_p, man_p, out, content_aware=True)
+    assert sorted(r2.validated_partitions) == sorted(r1.validated_partitions)
+    r3 = E.run_validation(spark, snap_p, man_p, out)  # back to cheap
+    assert sorted(r3.validated_partitions) == sorted(r1.validated_partitions)
+
+
+def test_audit_retention_bounds_work_dirs(spark, synth_dataset, tmp_path):
+    """keep_audit bounds the pair-level audit trail: only the N most recent
+    batch work dirs survive, and the retained ones stay readable."""
+    import glob as _glob
+
+    root, _ = synth_dataset
+    snap_p = os.path.join(root, "sequences")
+    man_p = os.path.join(root, "manifest")
+    out = str(tmp_path / "out")
+    r = E.run_validation(
+        spark, snap_p, man_p, out, commit_batch=1, keep_audit=2
+    )
+    assert len(r.validated_partitions) == 4
+    work = os.path.join(out, "_work")
+    batch_dirs = sorted(_glob.glob(os.path.join(work, "run=*", "batch=*")))
+    assert len(batch_dirs) == 2  # 4 batches ran, 2 retained
+    # retained audit tables are intact
+    for d in batch_dirs:
+        pairs = spark.read.parquet(os.path.join(d, "pairs_stage1"))
+        assert pairs.count() > 0
+    # unbounded mode keeps every batch dir
+    out2 = str(tmp_path / "out2")
+    E.run_validation(spark, snap_p, man_p, out2, commit_batch=1)
+    assert len(_glob.glob(os.path.join(out2, "_work", "run=*", "batch=*"))) == 4
+
+
+def test_cli_rejects_batch_flags_with_stream(tmp_path):
+    """ADVICE r3: batch-only flags must error under --stream instead of
+    silently doing nothing."""
+    import pytest
+
+    from np_data_validation_spark.__main__ import main as cli_main
+
+    with pytest.raises(SystemExit) as ei:
+        cli_main([
+            "--snapshot", str(tmp_path), "--manifest", str(tmp_path),
+            "--out", str(tmp_path / "o"), "--stream", "--content-aware",
+        ])
+    assert ei.value.code == 2  # argparse usage error

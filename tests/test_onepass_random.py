@@ -84,3 +84,27 @@ def test_onepass_equivalence_random(spark, tmp_path, seed):
     assert _key(res.rolled, cols) == _key(rolled_ref.select(*cols), cols)
     vcols = ["doc_id", "source", "violation", "detail"]
     assert _key(res.violations, vcols) == _key(viols_ref.select(*vcols), vcols)
+
+
+@pytest.mark.parametrize("seed", [515, 626])
+def test_probe_salted_equivalence_random(spark, tmp_path, seed):
+    """The salted probe join (manifest-side skew guard) must be
+    pair-multiset identical to the plain shuffle join on adversarially
+    dense inputs — hash collisions, null hashes, renamed counterparts —
+    not just the labeled mass-dup fixture."""
+    from np_data_validation_spark.operators import verdicts as V
+
+    snap, man = _rand_tables(spark, seed)
+    s1_path = str(tmp_path / f"s1_{seed}")
+    onepass.pairs_stage1(snap, man).write.parquet(s1_path)
+    s1 = spark.read.parquet(s1_path)
+    forced = V.PROBE_BROADCAST_MAX + 1  # force the shuffle branch
+    salted, _, sflag = onepass.probe_pairs_from(
+        spark, s1, man, n_miss=forced, manifest_hot=True
+    )
+    plain, _, pflag = onepass.probe_pairs_from(
+        spark, s1, man, n_miss=forced, manifest_hot=False
+    )
+    assert sflag and not pflag
+    cols = onepass.PAIR_COLS
+    assert _key(salted, cols) == _key(plain, cols)

@@ -68,6 +68,44 @@ def test_glob_manifest_hidden_fidelity(spark, tmp_path):
     assert rows == {"x.parquet": 5, ".snap.parquet": 2, "y.parquet": 4}
 
 
+def test_glob_manifest_hidden_uri_and_scheme_guard(spark, tmp_path):
+    """ADVICE r3: the hidden-inclusive walk must emit the same file: URI
+    shape as the default Hadoop-listing branch (consistent downstream path
+    handling) and refuse non-local URI schemes up front instead of failing
+    obscurely on executors."""
+    import pytest
+
+    (tmp_path / "only.parquet").write_bytes(b"123")
+    d = {r["name"]: r["path"] for r in sources.glob_manifest(spark, str(tmp_path)).collect()}
+    h = {r["name"]: r["path"] for r in sources.glob_manifest(
+        spark, str(tmp_path), include_hidden=True).collect()}
+    assert d == h  # identical URIs for the same file across both branches
+    assert h["only.parquet"].startswith("file:")
+    with pytest.raises(ValueError, match="include_hidden"):
+        sources.glob_manifest(spark, "s3://bucket/prefix", include_hidden=True)
+
+
+def test_glob_manifest_hidden_tolerates_deleted_file(spark, tmp_path):
+    """A file deleted between the driver-side top-level listing and the
+    executor-side walk yields no row and no task failure — live landing
+    directories are the norm (the walk's per-file stat is additionally
+    wrapped in try/except for the finer walk-vs-stat race, which happens
+    inside one executor and can't be interleaved from a test)."""
+    (tmp_path / "keep.parquet").write_bytes(b"1234")
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    gone = sub / "gone.parquet"
+    gone.write_bytes(b"12")
+    top_gone = tmp_path / "top_gone.parquet"
+    top_gone.write_bytes(b"123")
+    df = sources.glob_manifest(spark, str(tmp_path), include_hidden=True)
+    # the plan has captured the top-level listing; delete before execution
+    gone.unlink()
+    top_gone.unlink()
+    rows = {r["name"] for r in df.collect()}
+    assert rows == {"keep.parquet"}
+
+
 def test_normalize_ids(spark):
     df = spark.createDataFrame(
         [("  DOC_A ", "SRC_X")], "doc_id string, source string"

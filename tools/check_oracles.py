@@ -18,6 +18,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+#: Every by-design rows-only query (no DuckDB-expressible oracle) MUST name
+#: an oracle-checked TWIN that value-gates the same computation; the checker
+#: fails if a twin goes red or a new rows-only query appears without one —
+#: so the by-design gaps can't silently widen (VERDICT r3 #7).
+NO_ORACLE_TWINS = {
+    "udf_xxhash_tokens": "udf_xxhash_golden",   # value-level vs pinned spec goldens
+    "ann_lsh_topk": "ann_lsh_topk_portable",    # bit-identical portable DuckDB twin
+    "hll_distinct_sketch": "hll_distinct_check",  # estimate within 2% of exact
+}
+
 
 def value_hash(df) -> str:
     cols = sorted(df.columns)
@@ -86,6 +96,26 @@ def main() -> int:
             if merged is not None and not merged.empty:
                 print(merged.head(5))
     spark.stop()
+
+    # twin enforcement for the rows-only queries (skipped under a name
+    # filter that excludes either half of a pair)
+    ran = set(qs) if not only else {n for n in qs if n in only}
+    for name in sorted(set(qs) - set(oracles)):
+        if name not in ran:
+            continue
+        twin = NO_ORACLE_TWINS.get(name)
+        if twin is None:
+            failures.append(name)
+            print(f"FAIL {name}: rows-only query with NO declared oracle twin "
+                  f"(add one to NO_ORACLE_TWINS or an oracle_sql entry)")
+        elif twin not in qs or twin not in oracles:
+            failures.append(name)
+            print(f"FAIL {name}: declared twin {twin!r} missing from "
+                  f"queries()/oracle_sql()")
+        elif twin in ran and twin in failures:
+            failures.append(name)
+            print(f"FAIL {name}: oracle twin {twin!r} is red")
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nall OK")
     return 1 if failures else 0
 
