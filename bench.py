@@ -95,6 +95,10 @@ def main() -> None:
         "validated_seq_per_sec": round(job["rows_per_sec"], 1),
         "validate_all_reps_sec": job["all_sec"],
         "validate_cold_sec": job["cold_sec"],
+        "validate_stat": job["stat"],
+        "validate_all_gc_ms": job["all_gc_ms"],
+        "validate_all_tmpfs_mb": job["all_tmpfs_mb"],
+        "validate_all_shuffle_mb": job["all_shuffle_mb"],
         "cpus": cpus,
     }
     if big is not None:
@@ -104,7 +108,17 @@ def main() -> None:
             "seq_per_sec": round(big["rows_per_sec"], 1),
             "all_reps_sec": big["all_sec"],
             "cold_sec": big["cold_sec"],
+            # per-rep diagnostics (VERDICT r4 #2): GC time inside each rep +
+            # tmpfs/shuffle residue after inter-rep hygiene, so a warm-slower-
+            # than-cold inversion is attributable; `stat` says whether the
+            # reported sec is median-of-warm or the inversion fallback
+            # (median over ALL reps).
+            "stat": big["stat"],
+            "all_gc_ms": big["all_gc_ms"],
+            "all_tmpfs_mb": big["all_tmpfs_mb"],
+            "all_shuffle_mb": big["all_shuffle_mb"],
             "phases": big["phases"],
+            "phases_rep_sec": big["phases_rep_sec"],
             "seq_per_sec_vs_headline": round(
                 big["rows_per_sec"] / job["rows_per_sec"], 3
             ),

@@ -70,6 +70,26 @@ def ensure_bench_data(rows: int | None = None) -> str:
     return root
 
 
+def _gc_ms(spark: SparkSession) -> int:
+    """Cumulative JVM GC time (all collectors), for per-rep attribution."""
+    total = 0
+    beans = spark._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+    for b in beans:
+        total += b.getCollectionTime()
+    return int(total)
+
+
+def _dir_mb(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return round(total / 1e6)
+
+
 def run_validation_reps(
     spark: SparkSession,
     data_root: str,
@@ -82,31 +102,72 @@ def run_validation_reps(
     files between reps). The FIRST rep of a fresh JVM pays JIT/codegen
     warmup that a steady-state 10^12-row job amortizes in its first seconds
     (measured ~1.7x here) — report a statistic over reps[1:], never rep 0
-    alone (the round-3 committed 'regression' was exactly that artifact)."""
+    alone (the round-3 committed 'regression' was exactly that artifact).
+
+    Each rep carries diagnostics (same as BENCH/scaling.py's worker): GC
+    time spent during the rep and the residual size of the tmpfs workdir +
+    shuffle dirs AFTER inter-rep hygiene — so a warm rep slower than the
+    cold one can be attributed (GC wave vs tmpfs page-cache pressure vs
+    external host noise) instead of sitting as unexplained ±25% variance
+    (VERDICT r4 'what's wrong' #2)."""
     import time as _time
 
+    workdir = os.environ.get("NPDV_BENCH_WORKDIR")
+    shuffle_dirs = [
+        d
+        for d in spark.sparkContext.getConf().get("spark.local.dir", "").split(",")
+        if d
+    ]
     results = []
     for _ in range(reps):
-        results.append(run_validation_job(spark, data_root, hash_method=hash_method))
+        g0 = _gc_ms(spark)
+        r = run_validation_job(spark, data_root, hash_method=hash_method)
+        r["gc_ms"] = _gc_ms(spark) - g0
         spark.catalog.clearCache()
         spark._jvm.System.gc()
         _time.sleep(1)
+        # residual bytes AFTER hygiene: what the NEXT rep starts on top of
+        r["tmpfs_mb_after"] = sum(_dir_mb(d) for d in ([workdir] if workdir else []))
+        r["shuffle_mb_after"] = sum(_dir_mb(d) for d in shuffle_dirs)
+        results.append(r)
     return results
 
 
 def warm_median(results: list[dict]) -> dict:
-    """Median-by-throughput rep among the warm reps (all but the first);
-    falls back to the only rep when reps == 1."""
+    """Summary statistic for a rep series.
+
+    Normal shape (cold slower than warm): median sec / rows_per_sec over
+    the WARM reps (all but the first). Inverted shape (the cold rep is
+    FASTER than the warm median — the warm window is noise-dominated:
+    host-noise waves, tmpfs page-cache pressure): fall back to the median
+    over ALL reps, flagged ``stat: median_all_inverted``, so
+    round-over-round comparisons aren't built on a statistic the data
+    contradicts (VERDICT r4 task #2).
+
+    Phase breakdown cannot be medianed across reps coherently, so it is
+    reported from the representative rep (median-by-throughput among the
+    reps the statistic covers) and labeled with that rep's own wall time
+    (``phases_rep_sec``) — the reported ``sec`` is a median and need not
+    equal any single rep (ADVICE r4 benchlib.py:82)."""
     import statistics as _st
 
     warm = results[1:] or results
-    by_rps = sorted(warm, key=lambda r: r["rows_per_sec"])
-    med = by_rps[len(by_rps) // 2]
-    med = dict(med)
-    med["rows_per_sec"] = _st.median(r["rows_per_sec"] for r in warm)
-    med["sec"] = _st.median(r["sec"] for r in warm)
+    covered = warm
+    stat = "median_warm"
+    if len(results) > 1 and results[0]["sec"] < _st.median(r["sec"] for r in warm):
+        covered = results
+        stat = "median_all_inverted"
+    rep = sorted(covered, key=lambda r: r["rows_per_sec"])[len(covered) // 2]
+    med = dict(rep)
+    med["stat"] = stat
+    med["rows_per_sec"] = _st.median(r["rows_per_sec"] for r in covered)
+    med["sec"] = _st.median(r["sec"] for r in covered)
+    med["phases_rep_sec"] = round(rep["sec"], 3)
     med["all_sec"] = [round(r["sec"], 3) for r in results]
     med["cold_sec"] = round(results[0]["sec"], 3)
+    med["all_gc_ms"] = [r.get("gc_ms") for r in results]
+    med["all_tmpfs_mb"] = [r.get("tmpfs_mb_after") for r in results]
+    med["all_shuffle_mb"] = [r.get("shuffle_mb_after") for r in results]
     return med
 
 

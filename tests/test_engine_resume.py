@@ -259,6 +259,64 @@ def test_audit_retention_bounds_work_dirs(spark, synth_dataset, tmp_path):
     assert len(_glob.glob(os.path.join(out2, "_work", "run=*", "batch=*"))) == 4
 
 
+def test_audit_retention_hadoop_fs_uri(spark, synth_dataset, tmp_path):
+    """VERDICT r4 #1: --keep-audit must bound _work through the Hadoop FS
+    API, not os.* — a file: scheme out_dir URI exercises exactly that code
+    path (os.path.isdir('file:/...') is False, so the old driver-local
+    pruner silently retained everything)."""
+    import glob as _glob
+
+    root, _ = synth_dataset
+    snap_p = os.path.join(root, "sequences")
+    man_p = os.path.join(root, "manifest")
+    local_out = tmp_path / "out_uri"
+    out = "file://" + str(local_out)
+    r = E.run_validation(spark, snap_p, man_p, out, commit_batch=1, keep_audit=2)
+    assert len(r.validated_partitions) == 4
+    batch_dirs = sorted(_glob.glob(str(local_out / "_work" / "run=*" / "batch=*")))
+    assert len(batch_dirs) == 2  # 4 batches ran, 2 retained — via Hadoop FS
+    for d in batch_dirs:
+        assert spark.read.parquet(os.path.join(d, "pairs_stage1")).count() > 0
+    # a second multi-batch run over the same out_dir stays bounded too
+    # (resume skips all partitions; force re-run by dropping resume)
+    E.run_validation(
+        spark, snap_p, man_p, out, resume=False, commit_batch=1, keep_audit=2
+    )
+    assert len(_glob.glob(str(local_out / "_work" / "run=*" / "batch=*"))) == 2
+
+
+def test_code_version_derived_from_semantics():
+    """VERDICT r4 #3: CODE_VERSION is a semantic hash of the verdict +
+    constraint modules — comment/docstring edits don't bump it, mutating a
+    verdict branch does (so a semantic change can never silently honor
+    stale checkpoints, and there is no manual bump to forget). Combined
+    with test_round2.test_code_version_bump_invalidates_checkpoints, a
+    changed version re-validates prior checkpoints."""
+    from np_data_validation_spark.operators import constraints as C
+    from np_data_validation_spark.operators import verdicts as V
+
+    srcs = []
+    for mod in (V, C):
+        with open(mod.__file__, "rb") as f:
+            srcs.append(f.read())
+    assert E.CODE_VERSION == E._semantic_version(*srcs)
+    # comment-only and docstring-only edits leave the version unchanged
+    assert (
+        E._semantic_version(srcs[0] + b"\n# trailing comment\n", srcs[1])
+        == E.CODE_VERSION
+    )
+    # mutating a verdict branch constant changes it
+    mutated = srcs[0].replace(
+        b"MISSING_COUNTERPART = 14", b"MISSING_COUNTERPART = 15"
+    )
+    assert mutated != srcs[0]
+    assert E._semantic_version(mutated, srcs[1]) != E.CODE_VERSION
+    # a constraint-side change counts too
+    mutated_c = srcs[1].replace(b"def ", b"def x_", 1)
+    assert mutated_c != srcs[1]
+    assert E._semantic_version(srcs[0], mutated_c) != E.CODE_VERSION
+
+
 def test_cli_rejects_batch_flags_with_stream(tmp_path):
     """ADVICE r3: batch-only flags must error under --stream instead of
     silently doing nothing."""
