@@ -1087,6 +1087,163 @@ def p6_conditional_hash_gate(spark, sf_dir):
     )
 
 
+# --- streaming-vs-batch parity: the Structured Streaming path --------------
+
+#: The streaming oracle's CASE is literally the engine CASE with hash
+#: values replaced by a symbolic content id ``c``: token arrays are unique
+#: per vec_id in this fixture, so tok_hash equality <=> token-array
+#: equality <=> c equality (the input_hint's per-row invariant). The
+#: textual substitution also maps m_tok_hash -> m_c.
+STREAM_CASE_SQL = VERDICT_CASE_SQL.replace("tok_hash", "c")
+
+#: Deterministic fault injections over embeddings-derived sequences
+#: (id arithmetic, both engines):
+#:   %13==0 dropped from manifest      -> MISSING_COUNTERPART (probe finds
+#:                                        nothing: content absent)
+#:   %17==0 manifest doc_id 'r'||id    -> stage-1 miss, probe rescues by
+#:                                        content (VALID_COPY_RENAMED)
+#:   %7 ==0 content corrupted          -> hash mismatch (and a %17&&%7 row
+#:                                        stays MISSING: probe can't match)
+#:   %11==0 manifest n_tok+3           -> size mismatch
+#:   %5 ==0 manifest source 'backup'   -> copy family
+#:   %19==0 extra 'mirror' row         -> multi-pair subject (rollup MAX)
+STREAM_ROLLUP_SQL = f"""
+WITH base AS (
+  SELECT CAST(vec_id AS BIGINT) AS id,
+         CAST(vec_id AS VARCHAR) AS doc_id,
+         's' || CAST(vec_id % 3 AS VARCHAR) AS source,
+         len(embedding) AS n_tok
+  FROM embeddings
+),
+s AS (SELECT doc_id, source, n_tok, id AS c FROM base),
+m AS (
+  SELECT CASE WHEN id % 17 = 0 THEN 'r' || doc_id ELSE doc_id END AS m_doc_id,
+         CASE WHEN id % 5 = 0 THEN 'backup' ELSE source END AS m_source,
+         n_tok + (CASE WHEN id % 11 = 0 THEN 3 ELSE 0 END) AS m_n_tok,
+         CASE WHEN id % 7 = 0 THEN -(id + 1) ELSE id END AS m_c
+  FROM base WHERE id % 13 != 0
+  UNION ALL
+  SELECT doc_id, 'mirror', n_tok, id
+  FROM base WHERE id % 13 != 0 AND id % 19 = 0
+),
+j AS (
+  SELECT s.doc_id, s.source, s.n_tok, s.c,
+         m.m_doc_id, m.m_source, m.m_n_tok, m.m_c
+  FROM s LEFT JOIN m ON s.doc_id = m.m_doc_id
+),
+p1 AS (SELECT j.*, {STREAM_CASE_SQL} AS verdict_code FROM j),
+miss AS (SELECT doc_id, source, n_tok, c FROM p1 WHERE verdict_code = 14),
+pf AS (
+  SELECT s.doc_id, s.source, s.n_tok, s.c,
+         m.m_doc_id, m.m_source, m.m_n_tok, m.m_c
+  FROM miss s JOIN m ON s.c = m.m_c
+),
+p2 AS (SELECT pf.*, {STREAM_CASE_SQL} AS verdict_code FROM pf),
+still AS (
+  SELECT doc_id, source, n_tok, c,
+         NULL AS m_doc_id, NULL AS m_source, NULL AS m_n_tok, NULL AS m_c,
+         14 AS verdict_code
+  FROM miss WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.m_c = miss.c)
+),
+merged AS (
+  SELECT * FROM p1 WHERE verdict_code != 14
+  UNION ALL SELECT * FROM p2
+  UNION ALL SELECT * FROM still
+),
+rolled AS (
+  SELECT doc_id, source,
+         MAX(verdict_code) AS final_verdict_code,
+         bool_or(verdict_code >= 21 OR verdict_code = 5) AS has_valid,
+         bool_or(verdict_code BETWEEN 11 AND 13) AS has_invalid,
+         bool_or(verdict_code = 14) AS is_missing,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM merged GROUP BY doc_id, source
+)
+SELECT doc_id, source, final_verdict_code, has_valid, has_invalid, is_missing,
+       n_pairs,
+       CASE WHEN has_invalid OR is_missing THEN 'fail'
+            WHEN has_valid OR final_verdict_code IN (6, 7) THEN 'pass'
+            ELSE 'unknown' END AS row_status
+FROM rolled
+"""
+
+
+def stream_parity_tables(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
+    """(sequences, manifest) in input_hint schema, derived from embeddings
+    with the deterministic fault injections documented on STREAM_ROLLUP_SQL
+    — shared by the streaming driver query and the batch-parity pytest so
+    the two paths validate literally the same tables."""
+    from np_data_validation_spark.functions.hashing import with_tok_hash
+
+    base = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("_id"),
+        F.col("vec_id").cast("string").alias("doc_id"),
+        F.transform("embedding", lambda x: (x * 1000).cast("int")).alias("tokens"),
+        F.size("embedding").cast("int").alias("n_tok"),
+        F.concat(F.lit("s"), (F.col("vec_id") % 3).cast("string")).alias("source"),
+    )
+    kept = base.filter(F.col("_id") % 13 != 0)
+    main = kept.select(
+        F.when(F.col("_id") % 17 == 0, F.concat(F.lit("r"), F.col("doc_id")))
+        .otherwise(F.col("doc_id"))
+        .alias("doc_id"),
+        F.when(
+            F.col("_id") % 7 == 0,
+            F.concat(F.col("tokens"), F.array(F.lit(999999))),
+        )
+        .otherwise(F.col("tokens"))
+        .alias("tokens"),
+        (F.col("n_tok") + F.when(F.col("_id") % 11 == 0, 3).otherwise(0))
+        .cast("int")
+        .alias("n_tok"),
+        F.when(F.col("_id") % 5 == 0, F.lit("backup"))
+        .otherwise(F.col("source"))
+        .alias("source"),
+    )
+    mirror = kept.filter(F.col("_id") % 19 == 0).select(
+        "doc_id", "tokens", "n_tok", F.lit("mirror").alias("source")
+    )
+    man = with_tok_hash(main.unionByName(mirror)).select(
+        "doc_id", "n_tok", "tok_hash", "source"
+    )
+    return base.select("doc_id", "tokens", "n_tok", "source"), man
+
+
+@q("streaming_verdict_rollup", STREAM_ROLLUP_SQL)
+def streaming_verdict_rollup(spark, sf_dir):
+    """The Structured-Streaming path driven end-to-end and value-checked
+    against DuckDB (VERDICT r4 task #5): an availableNow file-source stream
+    (streaming/incremental.validate_stream -> foreachBatch -> the SAME
+    plans.onepass plan as batch) over a SEQUENCES table derived from
+    ``embeddings`` with deterministic fault injections. The oracle mirrors
+    the FULL onepass verdict semantics — stage-1 doc_id join, ordered CASE,
+    content probe of the missing band, per-identity anti-join, per-subject
+    rollup — with hash equality encoded symbolically (see STREAM_CASE_SQL).
+    Reference anchor: the batch-with-resume outer loop this streams,
+    /root/reference/data_validation.py:1449-1464."""
+    import os
+    import tempfile
+
+    from np_data_validation_spark.streaming.incremental import validate_stream
+
+    seq, man = stream_parity_tables(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="npdv_stream_q_")
+    landing, out = os.path.join(tmp, "landing"), os.path.join(tmp, "out")
+    seq.write.mode("overwrite").parquet(landing)
+    validate_stream(spark, landing, man, out).awaitTermination()
+    rolled = spark.read.parquet(os.path.join(out, "verdicts"))
+    return rolled.select(
+        "doc_id",
+        "source",
+        "final_verdict_code",
+        "has_valid",
+        "has_invalid",
+        "is_missing",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        "row_status",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

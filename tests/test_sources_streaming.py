@@ -150,6 +150,34 @@ def test_glob_manifest_hidden_walk_spreads_lopsided_tree(spark, tmp_path):
     assert df.count() == 12 * 4 + 1  # and nothing was lost or duplicated
 
 
+def test_streaming_query_matches_batch_rollup(spark, tmp_path):
+    """VERDICT r4 task #5 (streaming-vs-batch parity): the driver's
+    ``streaming_verdict_rollup`` entry — the availableNow stream through
+    foreachBatch — must produce exactly the batch one-pass plan's verdict
+    rollup on the same derived (sequences, manifest) tables. The driver's
+    DuckDB oracle on the same entry additionally pins the VALUES against an
+    independent engine."""
+    from np_data_validation_spark import queries as Q
+    from np_data_validation_spark.plans.onepass import validate_onepass
+
+    sf = "/root/testdata/sf0.001"
+    streamed = Q.queries()["streaming_verdict_rollup"](spark, sf)
+    seq, man = Q.stream_parity_tables(spark, sf)
+    batch = validate_onepass(spark, seq, man, str(tmp_path / "w")).rolled
+    cols = streamed.columns
+
+    def key(df):
+        return sorted(
+            tuple((v is None, v) for v in (r[c] for c in cols)) for r in df.collect()
+        )
+
+    assert key(streamed) == key(batch.select(*cols))
+    # the fixture exercises every band: valid, copies, renamed-rescued by
+    # the content probe, invalid, missing
+    codes = {r["final_verdict_code"] for r in streamed.collect()}
+    assert {5, 21, 22, 13, 14} <= codes
+
+
 def test_normalize_ids(spark):
     df = spark.createDataFrame(
         [("  DOC_A ", "SRC_X")], "doc_id string, source string"
