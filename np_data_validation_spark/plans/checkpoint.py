@@ -12,8 +12,52 @@ Atomicity without Iceberg transactions (SURVEY.md §7.3 hard part 4): result
 parquet is written FIRST (dynamic partition overwrite, so a re-run of a
 failed partition replaces its output), the ``done`` state row is appended
 LAST. A crash between the two re-runs the partition; output overwrite makes
-that idempotent. On Iceberg, both writes become one transaction behind the
-same interface.
+that idempotent.
+
+Iceberg deployment shape (design note — the sandbox has no
+iceberg-spark-runtime jar and no network to fetch one, so this seam is
+documented rather than integration-tested; everything below is plain
+public Iceberg-on-Spark usage):
+
+* Catalog: ``spark.sql.catalog.val = org.apache.iceberg.spark.SparkCatalog``
+  with a hive/glue/rest catalog impl; tables ``val.verdicts`` and
+  ``val.violations`` partitioned by ``_part`` (identity transform on the
+  snapshot's ``source``), ``val.state`` unpartitioned, ordered by
+  ``partition``.
+* Results commit — one atomic, snapshot-isolated replacement per table,
+  which subsumes BOTH halves of the parquet path's
+  ``_clear_partitions`` + dynamic-overwrite dance (an Iceberg partition
+  overwrite that writes zero rows for a partition still drops that
+  partition's old files)::
+
+      rolled.writeTo("val.verdicts").overwritePartitions()
+      violations.writeTo("val.violations").overwritePartitions()
+
+* State commit — latest-row-per-partition becomes a keyed upsert instead
+  of append-then-window (read_state's window collapses away)::
+
+      MERGE INTO val.state s
+      USING batch_state b            -- one row per partition in the batch
+      ON s.partition = b.partition
+      WHEN MATCHED THEN UPDATE SET
+        status = b.status, run_id = b.run_id, metrics = b.metrics,
+        lineage = b.lineage, finished_at = b.finished_at
+      WHEN NOT MATCHED THEN INSERT *
+
+* Cross-table atomicity: OSS Spark SQL has no multi-table Iceberg
+  transaction, so the engine KEEPS its results-first / state-last
+  ordering and idempotent-replay contract — each commit is now
+  individually atomic (no torn parquet directories), and a crash between
+  the verdicts commit and the state MERGE replays the batch exactly as
+  today. Where stronger coupling is wanted, the write-audit-publish
+  pattern applies unchanged: stage all three writes on a branch
+  (``spark.wap.branch``), validate, then fast-forward the branch to main
+  as the single publish step.
+* Resume reads ``val.state``'s current snapshot (one keyed scan, no
+  window); the superseded states the parquet path keeps as history are
+  recovered via snapshot time-travel instead
+  (``VERSION AS OF``), which also gives the audit trail a retention knob
+  (``expire_snapshots``) in place of _prune_audit_dirs.
 """
 
 from __future__ import annotations

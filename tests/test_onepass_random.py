@@ -86,6 +86,94 @@ def test_onepass_equivalence_random(spark, tmp_path, seed):
     assert _key(res.violations, vcols) == _key(viols_ref.select(*vcols), vcols)
 
 
+@pytest.mark.parametrize("seed", [737, 848])
+def test_rollup_salted_equivalence_random(spark, tmp_path, seed):
+    """Forced two-level salted rollup must be bit-identical to the plain
+    rollup on adversarially dense random tables (VERDICT r4 task #7 — the
+    sweep previously ran only with default skew settings, so the salted
+    rollup branch was guarded by the labeled fixture alone)."""
+    snap, man = _rand_tables(spark, seed)
+    salted = onepass.validate_onepass(
+        spark, snap, man, str(tmp_path / f"ws{seed}"), salt_buckets=8
+    )
+    plain = onepass.validate_onepass(
+        spark, snap, man, str(tmp_path / f"wp{seed}"), salt_buckets=None
+    )
+    assert salted.salt_buckets_used == 8 and plain.salt_buckets_used is None
+    cols = onepass.ROLLED_PUBLIC_COLS
+    assert _key(salted.rolled, cols) == _key(plain.rolled, cols)
+    vcols = ["doc_id", "source", "violation", "detail"]
+    assert _key(salted.violations, vcols) == _key(plain.violations, vcols)
+
+
+def _mass_dup_tables(spark):
+    """A corpus that trips BOTH auto-salting branches at test scale: one
+    subject ('hot','s1') carries 81 distinct identities (hot rollup key,
+    one of them a 40-fold collapsed duplicate), none with a manifest
+    doc_id match (big miss set); the manifest carries one content value on
+    200 rows (hot probe key with fan-out through the content probe)."""
+    from np_data_validation_spark.functions.hashing import with_tok_hash
+
+    rows = [("hot", [i], 1, "s1") for i in range(80)]
+    rows += [("hot", [7, 7, 7], 3, "s1")] * 40
+    rows += [(f"n{i}", [i, i + 1], 2, "s2") for i in range(40)]
+    snap = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    man_rows = [(f"n{i}", [i, i + 1], 2, "s2") for i in range(40)]
+    man_rows += [(f"m{j}", [7, 7, 7], 3, "s1") for j in range(200)]
+    man = with_tok_hash(
+        spark.createDataFrame(
+            man_rows, "doc_id string, tokens array<int>, n_tok int, source string"
+        )
+    ).select("doc_id", "n_tok", "tok_hash", "source")
+    return snap, man
+
+
+def test_auto_salting_full_plan_mass_dup(spark, tmp_path, monkeypatch):
+    """End-to-end auto engagement (VERDICT r4 task #7): on a mass-duplicate
+    corpus with test-scaled thresholds, validate_onepass must engage BOTH
+    the salted rollup and the salted probe join — and produce exactly the
+    outputs of the plan with neither engaged (broadcast probe, plain
+    rollup)."""
+    from np_data_validation_spark.operators import skew as SK
+    from np_data_validation_spark.operators import verdicts as V
+
+    snap, man = _mass_dup_tables(spark)
+    # reference first, before any patches: default thresholds never trip at
+    # this scale, so the probe broadcasts and the rollup stays plain
+    ref = onepass.validate_onepass(
+        spark, snap, man, str(tmp_path / "ref"), salt_buckets=None
+    )
+    assert ref.probe_salted is False
+
+    orig_detect = SK.detect_hot_keys
+    monkeypatch.setattr(
+        SK,
+        "detect_hot_keys",
+        lambda df, keys=("doc_id", "source"), **kw: orig_detect(
+            df, keys, **{"ratio": 2.0, "min_hot_rows": 40, **kw}
+        ),
+    )
+    monkeypatch.setattr(V, "PROBE_BROADCAST_MAX", 10)  # force the shuffle probe
+    res = onepass.validate_onepass(
+        spark,
+        snap,
+        man,
+        str(tmp_path / "salted"),
+        skew_ratio=2.0,
+        skew_min_hot_rows=40,
+    )
+    assert res.probe_salted is True
+    assert res.salt_buckets_used == SK.DEFAULT_SALT_BUCKETS
+    assert res.n_missing == 81  # 80 singleton identities + 1 collapsed dup
+
+    cols = onepass.ROLLED_PUBLIC_COLS
+    assert _key(res.rolled, cols) == _key(ref.rolled, cols)
+    vcols = ["doc_id", "source", "violation", "detail"]
+    assert _key(res.violations, vcols) == _key(ref.violations, vcols)
+
+
 @pytest.mark.parametrize("seed", [515, 626])
 def test_probe_salted_equivalence_random(spark, tmp_path, seed):
     """The salted probe join (manifest-side skew guard) must be
