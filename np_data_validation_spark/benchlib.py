@@ -113,11 +113,26 @@ def run_validation_reps(
     import time as _time
 
     workdir = os.environ.get("NPDV_BENCH_WORKDIR")
-    shuffle_dirs = [
+    conf_dirs = [
         d
         for d in spark.sparkContext.getConf().get("spark.local.dir", "").split(",")
         if d
     ]
+    if conf_dirs:
+        shuffle_dirs = conf_dirs  # dedicated scratch (e.g. the scaling bench)
+    else:
+        # default local dir: measure exactly THIS JVM's block-manager dirs
+        # (shuffle + spill files), not the whole system tmp — which also
+        # holds the bench dataset and other sessions' leftovers
+        try:
+            dbm = (
+                spark.sparkContext._jvm.org.apache.spark.SparkEnv.get()
+                .blockManager()
+                .diskBlockManager()
+            )
+            shuffle_dirs = list(dbm.localDirsString())
+        except Exception:  # noqa: BLE001 - diagnostics only, never fail a rep
+            shuffle_dirs = []
     results = []
     for _ in range(reps):
         g0 = _gc_ms(spark)

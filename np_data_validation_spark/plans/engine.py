@@ -356,8 +356,10 @@ def run_validation(
     everything once.
 
     ``keep_audit``: retain at most this many batch-level pair-table audit
-    dirs under ``<out>/_work`` (most recent by mtime, across runs), pruning
-    older ones after each state commit. None (default) keeps everything.
+    dirs under ``<out>/_work`` (most recent across runs — mtime with a
+    (run, batch-index) tie-break for coarse-mtime filesystems), pruning
+    older ones after each state commit through the Hadoop FS API (works on
+    object stores). None (default) keeps everything.
     Work dirs are scoped ``_work/run=<run_id>/batch=<n>`` so re-validated
     partitions never leave a stale pair table masquerading as current: the
     latest run's dirs are the authoritative audit trail.

@@ -131,11 +131,16 @@ def glob_manifest(
     listed on the driver (one readdir), then each subtree is walked inside
     executors. The walk needs ``root`` visible on executor filesystems
     (local/NFS mounts — exactly the reference's local-dir use case): a
-    non-file URI scheme raises up front rather than failing obscurely on
-    executors, paths come back as ``file:`` URIs exactly like the default
-    branch (consistent downstream path handling), and files deleted
-    mid-walk are skipped instead of failing the task (live directories are
-    the norm for a landing area).
+    non-file URI scheme (or a file: URI with an authority or a relative
+    path) raises up front rather than failing obscurely on executors,
+    paths come back as ``file:`` URIs exactly like the default branch
+    (consistent downstream path handling), and files deleted mid-walk are
+    skipped instead of failing the task (live directories are the norm
+    for a landing area). The walk itself is two-level: executors first
+    enumerate directories under the top-level entries (readdir only),
+    the discovered dirs repartition across the cluster, and a second
+    stage stats each dir's files — so one giant subtree spreads over many
+    tasks instead of serializing into one.
     """
     if not include_hidden:
         listing = (
