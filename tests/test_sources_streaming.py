@@ -160,22 +160,42 @@ def test_streaming_query_matches_batch_rollup(spark, tmp_path):
     from np_data_validation_spark import queries as Q
     from np_data_validation_spark.plans.onepass import validate_onepass
 
-    sf = "/root/testdata/sf0.001"
-    streamed = Q.queries()["streaming_verdict_rollup"](spark, sf)
-    seq, man = Q.stream_parity_tables(spark, sf)
-    batch = validate_onepass(spark, seq, man, str(tmp_path / "w")).rolled
-    cols = streamed.columns
+    import os as _os
 
-    def key(df):
+    from np_data_validation_spark.streaming.incremental import validate_stream
+
+    sf = "/root/testdata/sf0.001"
+    seq, man = Q.stream_parity_tables(spark, sf)
+    landing, out = str(tmp_path / "landing"), str(tmp_path / "out")
+    seq.write.parquet(landing)
+    validate_stream(spark, landing, man, out).awaitTermination()
+    streamed = spark.read.parquet(_os.path.join(out, "verdicts"))
+    batch = validate_onepass(spark, seq, man, str(tmp_path / "w"))
+
+    def key(df, cols):
         return sorted(
             tuple((v is None, v) for v in (r[c] for c in cols)) for r in df.collect()
         )
 
-    assert key(streamed) == key(batch.select(*cols))
+    from np_data_validation_spark.plans.onepass import ROLLED_PUBLIC_COLS
+
+    assert key(streamed, ROLLED_PUBLIC_COLS) == key(
+        batch.rolled.select(*ROLLED_PUBLIC_COLS), ROLLED_PUBLIC_COLS
+    )
+    # the streamed VIOLATIONS table (same foreachBatch) must equal the
+    # batch plan's too, modulo the _batch_id sink partition
+    vcols = ["doc_id", "source", "violation", "detail"]
+    v_streamed = spark.read.parquet(_os.path.join(out, "violations"))
+    assert key(v_streamed, vcols) == key(batch.violations.select(*vcols), vcols)
     # the fixture exercises every band: valid, copies, renamed-rescued by
     # the content probe, invalid, missing
     codes = {r["final_verdict_code"] for r in streamed.collect()}
     assert {5, 21, 22, 13, 14} <= codes
+    # and the DRIVER entry (its own stream run in a temp dir) agrees
+    driver_df = Q.queries()["streaming_verdict_rollup"](spark, sf)
+    assert key(driver_df, ROLLED_PUBLIC_COLS) == key(
+        batch.rolled.select(*ROLLED_PUBLIC_COLS), ROLLED_PUBLIC_COLS
+    )
 
 
 def test_normalize_ids(spark):
