@@ -167,7 +167,8 @@ def test_streaming_query_matches_batch_rollup(spark, tmp_path):
     sf = "/root/testdata/sf0.001"
     seq, man = Q.stream_parity_tables(spark, sf)
     landing, out = str(tmp_path / "landing"), str(tmp_path / "out")
-    seq.write.parquet(landing)
+    seq.repartition(6).write.parquet(landing)  # several files -> several
+    # micro-batches under maxFilesPerTrigger below
     validate_stream(spark, landing, man, out).awaitTermination()
     streamed = spark.read.parquet(_os.path.join(out, "verdicts"))
     batch = validate_onepass(spark, seq, man, str(tmp_path / "w"))
@@ -194,6 +195,19 @@ def test_streaming_query_matches_batch_rollup(spark, tmp_path):
     # and the DRIVER entry (its own stream run in a temp dir) agrees
     driver_df = Q.queries()["streaming_verdict_rollup"](spark, sf)
     assert key(driver_df, ROLLED_PUBLIC_COLS) == key(
+        batch.rolled.select(*ROLLED_PUBLIC_COLS), ROLLED_PUBLIC_COLS
+    )
+    # multi-batch delivery: with maxFilesPerTrigger the stream splits into
+    # several micro-batches; per-subject outputs are batch-local, and the
+    # fixture's subjects are single-row, so the union across _batch_id
+    # partitions must STILL equal the batch plan (pins that micro-batch
+    # boundaries never duplicate or drop subjects)
+    out2 = str(tmp_path / "out2")
+    q2 = validate_stream(spark, landing, man, out2, max_files_per_trigger=2)
+    q2.awaitTermination()
+    streamed2 = spark.read.parquet(_os.path.join(out2, "verdicts"))
+    assert streamed2.select("_batch_id").distinct().count() > 1
+    assert key(streamed2, ROLLED_PUBLIC_COLS) == key(
         batch.rolled.select(*ROLLED_PUBLIC_COLS), ROLLED_PUBLIC_COLS
     )
 
