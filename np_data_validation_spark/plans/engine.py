@@ -58,11 +58,13 @@ def _semantic_version(*sources: bytes) -> str:
 
 
 def _derive_code_version() -> str:
-    parts = []
-    for mod in (V, C):
-        with open(mod.__file__, "rb") as f:
-            parts.append(f.read())
-    return _semantic_version(*parts)
+    import inspect
+
+    # inspect.getsource goes through each module's loader, so this works
+    # both from a filesystem checkout and under spark-submit --py-files
+    # with the package shipped as a zip (zipimport has no openable
+    # __file__)
+    return _semantic_version(*(inspect.getsource(mod).encode() for mod in (V, C)))
 
 
 #: engine/code version recorded in lineage so stale checkpoints re-run.

@@ -317,6 +317,41 @@ def test_code_version_derived_from_semantics():
     assert E._semantic_version(srcs[0], mutated_c) != E.CODE_VERSION
 
 
+def test_code_version_derivable_under_zipimport(tmp_path):
+    """The spark-submit --py-files deployment imports the package from a
+    zip; deriving CODE_VERSION must work there too (no openable __file__)
+    and yield the same value as a filesystem checkout."""
+    import subprocess
+    import sys
+    import zipfile
+
+    import np_data_validation_spark as pkg
+
+    root = os.path.dirname(os.path.dirname(pkg.__file__))
+    zp = str(tmp_path / "npdv.zip")
+    with zipfile.ZipFile(zp, "w") as z:
+        for dp, _dirs, fs in os.walk(os.path.join(root, "np_data_validation_spark")):
+            for f in fs:
+                if f.endswith(".py"):
+                    full = os.path.join(dp, f)
+                    z.write(full, os.path.relpath(full, root))
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            f"import sys; sys.path.insert(0, {zp!r}); "
+            "from np_data_validation_spark.plans import engine as E; "
+            "print(E.CODE_VERSION)",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+        env={**os.environ, "PYTHONPATH": ""},
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == E.CODE_VERSION
+
+
 def test_cli_rejects_batch_flags_with_stream(tmp_path):
     """ADVICE r3: batch-only flags must error under --stream instead of
     silently doing nothing."""
