@@ -91,12 +91,23 @@ def dir_mb(path):
                 pass
     return round(total / 1e6)
 
+def steal_ms():
+    # host-wide CPU steal (shared VM): the definitive attribution for a
+    # rep that ran slow through no fault of the job
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8]) * 10  # USER_HZ=100 jiffies
+    except Exception:
+        return None
+
 root = benchlib.ensure_bench_data()
 results = []
 for i in range(reps):
-    g0, t0 = gc_ms(), time.time()
+    g0, s0, t0 = gc_ms(), steal_ms(), time.time()
     r = benchlib.run_validation_job(spark, root)
     r["gc_ms"] = gc_ms() - g0
+    s1 = steal_ms()
+    r["steal_ms"] = (s1 - s0) if (s0 is not None and s1 is not None) else None
     r["shm_mb_after"] = dir_mb(shuffle_dir)
     results.append(r)
     spark.catalog.clearCache()  # plan-matched cache reuse would fake repeat runs
@@ -110,6 +121,7 @@ for i in range(reps):
 best = max(results, key=lambda r: r["rows_per_sec"])
 best["all_sec"] = [round(r["sec"], 2) for r in results]
 best["all_gc_ms"] = [r["gc_ms"] for r in results]
+best["all_steal_ms"] = [r["steal_ms"] for r in results]
 best["all_shm_mb"] = [r["shm_mb_after"] for r in results]
 print("RESULT " + json.dumps(best))
 spark.stop()
@@ -166,9 +178,11 @@ def main() -> None:
         hi_rounds.append(hi_r)
         print(
             f"round {i + 1}/{args.runs}: {args.n}c best {lo_r['sec']:.1f}s "
-            f"(all {lo_r['all_sec']}, gc_ms {lo_r['all_gc_ms']}) / "
+            f"(all {lo_r['all_sec']}, gc_ms {lo_r['all_gc_ms']}, "
+            f"steal_ms {lo_r.get('all_steal_ms')}) / "
             f"{args.xn}c best {hi_r['sec']:.1f}s "
-            f"(all {hi_r['all_sec']}, gc_ms {hi_r['all_gc_ms']})",
+            f"(all {hi_r['all_sec']}, gc_ms {hi_r['all_gc_ms']}, "
+            f"steal_ms {hi_r.get('all_steal_ms')})",
             file=sys.stderr,
         )
 
@@ -205,6 +219,7 @@ def main() -> None:
         for i, r in enumerate(rounds):
             lines.append(
                 f"  * {tag} round {i + 1}: sec {r['all_sec']}, gc_ms {r['all_gc_ms']}, "
+                f"host-steal ms {r.get('all_steal_ms')}, "
                 f"shuffle-tmpfs MB after each rep {r['all_shm_mb']}"
             )
         return "\n".join(lines)

@@ -60,6 +60,9 @@ def main() -> None:
     # r3 #2): >=1 cold + >=3 warm in-JVM reps with inter-rep GC hygiene;
     # the REPORTED number is the median of the WARM reps (steady state =
     # the 10^12-row regime); the cold rep is kept as a printed diagnostic.
+    # If the warm window is noise-dominated (cold faster than warm median),
+    # warm_median falls back to the median over ALL reps and flags it via
+    # the emitted `stat` field (VERDICT r4 #2).
     # Job workdir on tmpfs so vda writeback from dataset generation or a
     # previous rep can't pollute the measurement.
     if os.path.isdir("/dev/shm"):
@@ -97,6 +100,7 @@ def main() -> None:
         "validate_cold_sec": job["cold_sec"],
         "validate_stat": job["stat"],
         "validate_all_gc_ms": job["all_gc_ms"],
+        "validate_all_steal_ms": job["all_steal_ms"],
         "validate_all_tmpfs_mb": job["all_tmpfs_mb"],
         "validate_all_shuffle_mb": job["all_shuffle_mb"],
         "cpus": cpus,
@@ -115,6 +119,7 @@ def main() -> None:
             # (median over ALL reps).
             "stat": big["stat"],
             "all_gc_ms": big["all_gc_ms"],
+            "all_steal_ms": big["all_steal_ms"],
             "all_tmpfs_mb": big["all_tmpfs_mb"],
             "all_shuffle_mb": big["all_shuffle_mb"],
             "phases": big["phases"],

@@ -79,6 +79,17 @@ def _gc_ms(spark: SparkSession) -> int:
     return int(total)
 
 
+def _steal_ms() -> int | None:
+    """Host-wide CPU steal time (shared VM) — definitive attribution for a
+    rep that ran slow through no fault of the job. None where /proc/stat
+    is unavailable."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8]) * 10  # USER_HZ=100 jiffies
+    except Exception:  # noqa: BLE001 - diagnostics only
+        return None
+
+
 def _dir_mb(path: str) -> int:
     total = 0
     for root, _dirs, files in os.walk(path):
@@ -135,9 +146,11 @@ def run_validation_reps(
             shuffle_dirs = []
     results = []
     for _ in range(reps):
-        g0 = _gc_ms(spark)
+        g0, s0 = _gc_ms(spark), _steal_ms()
         r = run_validation_job(spark, data_root, hash_method=hash_method)
         r["gc_ms"] = _gc_ms(spark) - g0
+        s1 = _steal_ms()
+        r["steal_ms"] = (s1 - s0) if (s0 is not None and s1 is not None) else None
         spark.catalog.clearCache()
         spark._jvm.System.gc()
         _time.sleep(1)
@@ -181,6 +194,7 @@ def warm_median(results: list[dict]) -> dict:
     med["all_sec"] = [round(r["sec"], 3) for r in results]
     med["cold_sec"] = round(results[0]["sec"], 3)
     med["all_gc_ms"] = [r.get("gc_ms") for r in results]
+    med["all_steal_ms"] = [r.get("steal_ms") for r in results]
     med["all_tmpfs_mb"] = [r.get("tmpfs_mb_after") for r in results]
     med["all_shuffle_mb"] = [r.get("shuffle_mb_after") for r in results]
     return med
