@@ -14,6 +14,17 @@ per-round bests across >=3 interleaved rounds — robust to one lucky or one
 unlucky round, unlike the previous global best-of. All per-run times, GC
 deltas and tmpfs deltas are printed and committed in BENCH/BASELINE.md.
 
+Steal qualification (round-6 hardening, VERDICT r5 task #1): this sandbox
+is a shared VM where CPU steal arrives in multi-minute waves that suppress
+whichever level happens to be running (r5 measured 2.6-4.9 host cores
+stolen during its FAIL-reading runs). Each rep therefore records its own
+/proc/stat steal delta; the round's estimate is its best rep WITHIN the
+steal budget (benchlib.STEAL_BUDGET_FRAC, default 5% of wall), a
+level-round with no qualifying rep is discarded and re-run (bounded
+--steal-retries), and BASELINE.md is only ever written from a run whose
+every round is steal-qualified — a degraded run writes BASELINE_SMOKE.md
+and leaves the standing gate evidence untouched.
+
 Each parallelism level runs in a fresh subprocess (Spark fixes master/conf
 at the first getOrCreate per JVM). Results land in BENCH/BASELINE.md.
 
@@ -44,6 +55,8 @@ import json, os, shutil, sys, time
 sys.path.insert(0, {repo!r})
 os.environ.setdefault("NPDV_BENCH_WORKDIR", "/dev/shm")
 from np_data_validation_spark import benchlib
+from np_data_validation_spark.benchlib import _dir_mb as dir_mb
+from np_data_validation_spark.benchlib import _steal_ms as steal_ms
 from np_data_validation_spark.session import get_spark
 cpus = int(sys.argv[1])
 reps = int(sys.argv[2])
@@ -81,25 +94,6 @@ def gc_ms():
         total += b.getCollectionTime()
     return int(total)
 
-def dir_mb(path):
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            try:
-                total += os.path.getsize(os.path.join(root, f))
-            except OSError:
-                pass
-    return round(total / 1e6)
-
-def steal_ms():
-    # host-wide CPU steal (shared VM): the definitive attribution for a
-    # rep that ran slow through no fault of the job
-    try:
-        with open("/proc/stat") as f:
-            return int(f.readline().split()[8]) * 10  # USER_HZ=100 jiffies
-    except Exception:
-        return None
-
 root = benchlib.ensure_bench_data()
 results = []
 for i in range(reps):
@@ -109,6 +103,7 @@ for i in range(reps):
     s1 = steal_ms()
     r["steal_ms"] = (s1 - s0) if (s0 is not None and s1 is not None) else None
     r["shm_mb_after"] = dir_mb(shuffle_dir)
+    r["steal_qualified"] = benchlib.steal_qualified(r)
     results.append(r)
     spark.catalog.clearCache()  # plan-matched cache reuse would fake repeat runs
     # Inter-run hygiene: shuffle files on tmpfs are only reclaimed when the
@@ -118,17 +113,26 @@ for i in range(reps):
     # cluster, whose executors GC continuously, does not see).
     spark._jvm.System.gc()
     time.sleep(1)
-best = max(results, key=lambda r: r["rows_per_sec"])
+# The round's estimate is its best STEAL-QUALIFIED rep: a rep whose
+# host-steal exceeded the budget ran against fewer cores than it was
+# pinned to and measures the host, not the engine (VERDICT r5 task #1).
+# If no rep qualified, fall back to the plain best, flagged — main()
+# treats a non-qualified round as disqualified and re-runs it.
+qualified = [r for r in results if r["steal_qualified"]]
+best = max(qualified or results, key=lambda r: r["rows_per_sec"])
+best["round_steal_qualified"] = bool(qualified)
 best["all_sec"] = [round(r["sec"], 2) for r in results]
 best["all_gc_ms"] = [r["gc_ms"] for r in results]
 best["all_steal_ms"] = [r["steal_ms"] for r in results]
 best["all_shm_mb"] = [r["shm_mb_after"] for r in results]
+best["all_qualified"] = [r["steal_qualified"] for r in results]
+best["steal_budget_frac"] = benchlib.STEAL_BUDGET_FRAC
 print("RESULT " + json.dumps(best))
 spark.stop()
 """
 
 
-def run_level(cpus: int, reps: int) -> dict:
+def run_level_once(cpus: int, reps: int) -> dict:
     # taskset pins the WHOLE process tree (JVM + pandas-UDF python workers)
     # to exactly `cpus` cores — a local[N] JVM without pinning lets the
     # python workers overflow onto extra host cores, silently inflating the
@@ -149,6 +153,28 @@ def run_level(cpus: int, reps: int) -> dict:
     raise RuntimeError(f"worker failed (cpus={cpus}):\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
 
 
+def run_level(cpus: int, reps: int, retries: int) -> dict:
+    """Run one parallelism level; if NO rep met the steal budget (the whole
+    JVM ran in a degraded host window), discard and re-run up to
+    ``retries`` times (VERDICT r5 task #1: a steal-polluted round measures
+    the host, not the engine). The final attempt is kept either way,
+    flagged via ``round_steal_qualified`` so main() can refuse to stamp
+    BASELINE.md from it."""
+    attempt = 0
+    while True:
+        attempt += 1
+        r = run_level_once(cpus, reps)
+        r["attempts"] = attempt
+        if r.get("round_steal_qualified", True) or attempt > retries:
+            return r
+        print(
+            f"  level {cpus}c attempt {attempt}: no rep under steal budget "
+            f"(steal_ms {r.get('all_steal_ms')}, sec {r.get('all_sec')}) — "
+            f"re-running ({retries - attempt + 1} retries left)",
+            file=sys.stderr,
+        )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=4)
@@ -156,6 +182,12 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3, help="interleaved rounds (fresh JVMs)")
     ap.add_argument("--reps", type=int, default=5, help="in-JVM repetitions per round")
     ap.add_argument("--rows", type=int, default=48_000_000)
+    ap.add_argument(
+        "--steal-retries",
+        type=int,
+        default=2,
+        help="re-runs allowed per level-round when no rep meets the steal budget",
+    )
     args = ap.parse_args()
     # bigger input than bench.py's default so the scalable phase dominates
     # fixed per-job overheads at the high parallelism level
@@ -172,17 +204,19 @@ def main() -> None:
     lo_rounds: list[dict] = []
     hi_rounds: list[dict] = []
     for i in range(args.runs):
-        lo_r = run_level(args.n, args.reps)
-        hi_r = run_level(args.xn, args.reps)
+        lo_r = run_level(args.n, args.reps, args.steal_retries)
+        hi_r = run_level(args.xn, args.reps, args.steal_retries)
         lo_rounds.append(lo_r)
         hi_rounds.append(hi_r)
         print(
             f"round {i + 1}/{args.runs}: {args.n}c best {lo_r['sec']:.1f}s "
             f"(all {lo_r['all_sec']}, gc_ms {lo_r['all_gc_ms']}, "
-            f"steal_ms {lo_r.get('all_steal_ms')}) / "
+            f"steal_ms {lo_r.get('all_steal_ms')}, "
+            f"qualified {lo_r.get('all_qualified')}) / "
             f"{args.xn}c best {hi_r['sec']:.1f}s "
             f"(all {hi_r['all_sec']}, gc_ms {hi_r['all_gc_ms']}, "
-            f"steal_ms {hi_r.get('all_steal_ms')})",
+            f"steal_ms {hi_r.get('all_steal_ms')}, "
+            f"qualified {hi_r.get('all_qualified')})",
             file=sys.stderr,
         )
 
@@ -199,6 +233,9 @@ def main() -> None:
         args.xn / args.n * max(r["rows_per_sec"] for r in lo_rounds)
     )
 
+    all_rounds_qualified = all(
+        r.get("round_steal_qualified", False) for r in lo_rounds + hi_rounds
+    )
     result = {
         "rows": lo["rows"],
         "rounds": args.runs,
@@ -211,6 +248,8 @@ def main() -> None:
         "scaling_efficiency_best": round(eff_best, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
+        "steal_budget_frac": lo.get("steal_budget_frac"),
+        "all_rounds_steal_qualified": all_rounds_qualified,
     }
     print(json.dumps(result))
 
@@ -218,8 +257,10 @@ def main() -> None:
         lines = []
         for i, r in enumerate(rounds):
             lines.append(
-                f"  * {tag} round {i + 1}: sec {r['all_sec']}, gc_ms {r['all_gc_ms']}, "
+                f"  * {tag} round {i + 1} (attempt {r.get('attempts', 1)}): "
+                f"sec {r['all_sec']}, gc_ms {r['all_gc_ms']}, "
                 f"host-steal ms {r.get('all_steal_ms')}, "
+                f"steal-qualified {r.get('all_qualified')}, "
                 f"shuffle-tmpfs MB after each rep {r['all_shm_mb']}"
             )
         return "\n".join(lines)
@@ -241,6 +282,13 @@ levels standing in for N and 4N executors.
 {hi_rps:,.0f} / ({args.xn // args.n} x {lo_rps:,.0f}) = **{eff:.3f}**
 (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"}); best-of-all-rounds
 efficiency for reference: {eff_best:.3f}.
+
+**Steal qualification**: every round's estimate is its best rep whose
+host-wide CPU steal stayed within {lo.get('steal_budget_frac', 0.05):.0%} of
+its wall time (/proc/stat delta per rep, SC_CLK_TCK-scaled); a level-round
+with NO qualifying rep is discarded and re-run (bounded retries). This run:
+all rounds steal-qualified = {all_rounds_qualified}. Per-rep steal_ms and
+qualification flags are listed under "All measured runs" below.
 
 Median-round phase breakdown (sec): local[{args.n}] {lo.get('phases')},
 local[{args.xn}] {hi.get('phases')}
@@ -275,25 +323,39 @@ All measured runs:
 Reproduce: `python BENCH/scaling.py --n {args.n} --xn {args.xn} --runs {args.runs} --reps {args.reps}`
 (bench data cached under /tmp).
 """
-    qualifies = args.runs >= GATE_MIN_RUNS and lo["rows"] >= GATE_MIN_ROWS
-    if not qualifies:
+    # Prior qualified runs (with their host-condition attribution) live in
+    # BENCH/HISTORY.md and ride along as an appendix of whatever file this
+    # run writes — the gate evidence leads, history never overwrites it.
+    hist_path = os.path.join(REPO, "BENCH", "HISTORY.md")
+    if os.path.exists(hist_path):
+        with open(hist_path) as f:
+            md += "\n---\n\n" + f.read()
+
+    size_ok = args.runs >= GATE_MIN_RUNS and lo["rows"] >= GATE_MIN_ROWS
+    if not size_ok or not all_rounds_qualified:
+        # Refuse to stamp the gate evidence from a smoke-sized OR
+        # steal-degraded run (VERDICT r5 what's-wrong #1: a degraded run
+        # must never overwrite the standing qualified evidence).
+        reason = (
+            f"runs={args.runs} < {GATE_MIN_RUNS} or rows={lo['rows']:,} < {GATE_MIN_ROWS:,}"
+            if not size_ok
+            else "a level-round exhausted its steal-budget retries (degraded host window)"
+        )
         md = (
-            "# BENCH/BASELINE_SMOKE.md — NON-QUALIFYING smoke run "
-            f"(runs={args.runs} < {GATE_MIN_RUNS} or rows={lo['rows']:,} < "
-            f"{GATE_MIN_ROWS:,}); NOT gate evidence — see BASELINE.md\n\n" + md
+            "# BENCH/BASELINE_SMOKE.md — NON-QUALIFYING run "
+            f"({reason}); NOT gate evidence — see BASELINE.md\n\n" + md
         )
         with open(os.path.join(REPO, "BENCH", "BASELINE_SMOKE.md"), "w") as f:
             f.write(md)
         print(
-            f"smoke run (runs={args.runs}, rows={lo['rows']}): wrote "
-            "BENCH/BASELINE_SMOKE.md; BASELINE.md untouched (gate evidence "
-            f"requires runs>={GATE_MIN_RUNS} and rows>={GATE_MIN_ROWS})",
+            f"non-qualifying run ({reason}): wrote BENCH/BASELINE_SMOKE.md; "
+            "BASELINE.md untouched",
             file=sys.stderr,
         )
         return
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print("wrote BENCH/BASELINE.md", file=sys.stderr)
+    print("wrote BENCH/BASELINE.md (steal-qualified gate evidence)", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -79,15 +79,41 @@ def _gc_ms(spark: SparkSession) -> int:
     return int(total)
 
 
+try:
+    #: kernel clock tick for /proc/stat jiffies — sysconf-derived, not the
+    #: hardcoded USER_HZ=100 assumption (VERDICT r5 "what's wrong" #3)
+    _CLK_TCK: int = int(os.sysconf("SC_CLK_TCK")) or 100
+except (AttributeError, ValueError, OSError):  # non-POSIX / odd sysconf
+    _CLK_TCK = 100
+
+#: per-rep steal budget as a fraction of the rep's wall time: a rep whose
+#: host-wide CPU-steal exceeds this fraction ran in a degraded host window
+#: and does not qualify for the reported statistic (VERDICT r5 task #1/#3)
+STEAL_BUDGET_FRAC = float(os.environ.get("NPDV_STEAL_BUDGET_FRAC", "0.05"))
+
+
 def _steal_ms() -> int | None:
     """Host-wide CPU steal time (shared VM) — definitive attribution for a
     rep that ran slow through no fault of the job. None where /proc/stat
     is unavailable."""
     try:
         with open("/proc/stat") as f:
-            return int(f.readline().split()[8]) * 10  # USER_HZ=100 jiffies
+            jiffies = int(f.readline().split()[8])
+        return jiffies * 1000 // _CLK_TCK
     except Exception:  # noqa: BLE001 - diagnostics only
         return None
+
+
+def steal_qualified(rep: dict, budget_frac: float | None = None) -> bool:
+    """True iff the rep's measured host steal is within the budget
+    (``steal_ms <= budget_frac * wall``). A rep with no steal telemetry
+    (no /proc/stat) is treated as qualified — the budget can only be
+    enforced where it can be measured."""
+    frac = STEAL_BUDGET_FRAC if budget_frac is None else budget_frac
+    s = rep.get("steal_ms")
+    if s is None:
+        return True
+    return s <= frac * rep["sec"] * 1000.0
 
 
 def _dir_mb(path: str) -> int:
@@ -121,6 +147,7 @@ def run_validation_reps(
     cold one can be attributed (GC wave vs tmpfs page-cache pressure vs
     external host noise) instead of sitting as unexplained ±25% variance
     (VERDICT r4 'what's wrong' #2)."""
+    import glob as _glob
     import time as _time
 
     workdir = os.environ.get("NPDV_BENCH_WORKDIR")
@@ -154,23 +181,42 @@ def run_validation_reps(
         spark.catalog.clearCache()
         spark._jvm.System.gc()
         _time.sleep(1)
-        # residual bytes AFTER hygiene: what the NEXT rep starts on top of
-        r["tmpfs_mb_after"] = sum(_dir_mb(d) for d in ([workdir] if workdir else []))
+        # residual bytes AFTER hygiene: what the NEXT rep starts on top of.
+        # Scoped to THIS engine's npdv_job_* dirs under the workdir (not the
+        # whole workdir root, which also holds other processes' tmpfs files
+        # and — when spark.local.dir sits under it — would double-count the
+        # shuffle dirs measured separately below; ADVICE r5 benchlib:158).
+        if workdir:
+            job_dirs = _glob.glob(os.path.join(workdir, "npdv_job_*"))
+            r["tmpfs_mb_after"] = sum(_dir_mb(d) for d in job_dirs)
+        else:
+            r["tmpfs_mb_after"] = 0
         r["shuffle_mb_after"] = sum(_dir_mb(d) for d in shuffle_dirs)
         results.append(r)
     return results
 
 
-def warm_median(results: list[dict]) -> dict:
+def warm_median(results: list[dict], budget_frac: float | None = None) -> dict:
     """Summary statistic for a rep series.
 
-    Normal shape (cold slower than warm): median sec / rows_per_sec over
-    the WARM reps (all but the first). Inverted shape (the cold rep is
-    FASTER than the warm median — the warm window is noise-dominated:
-    host-noise waves, tmpfs page-cache pressure): fall back to the median
-    over ALL reps, flagged ``stat: median_all_inverted``, so
-    round-over-round comparisons aren't built on a statistic the data
-    contradicts (VERDICT r4 task #2).
+    Rep 0 of a fresh JVM pays JIT/codegen warmup, so the statistic always
+    covers the WARM reps (all but the first). Within the warm reps, the
+    per-rep steal telemetry qualifies the window (VERDICT r5 task #3):
+
+    * ``median_steal_qualified`` — median over the warm reps whose
+      host-steal is within ``STEAL_BUDGET_FRAC`` of their wall (the normal
+      calm-host case: all warm reps qualify and this equals the old warm
+      median);
+    * ``median_warm_no_qualified_rep`` — NO warm rep met the budget (the
+      whole run sat in a degraded host window): fall back to the plain
+      warm median, flagged so the reader knows the number is polluted.
+
+    A ``_inverted`` suffix is appended when the cold rep is FASTER than
+    the covered median — a diagnostic that the warm window is
+    noise-dominated. The cold rep is flagged but NEVER mixed into the
+    statistic: the previous median-over-all fallback only engaged when
+    rep 0 was fastest, so it systematically biased the headline DOWNWARD
+    in exactly the noisy runs it guarded (ADVICE r5 benchlib:185).
 
     Phase breakdown cannot be medianed across reps coherently, so it is
     reported from the representative rep (median-by-throughput among the
@@ -179,12 +225,17 @@ def warm_median(results: list[dict]) -> dict:
     equal any single rep (ADVICE r4 benchlib.py:82)."""
     import statistics as _st
 
+    frac = STEAL_BUDGET_FRAC if budget_frac is None else budget_frac
     warm = results[1:] or results
-    covered = warm
-    stat = "median_warm"
-    if len(results) > 1 and results[0]["sec"] < _st.median(r["sec"] for r in warm):
-        covered = results
-        stat = "median_all_inverted"
+    qualified = [r for r in warm if steal_qualified(r, frac)]
+    if qualified:
+        covered = qualified
+        stat = "median_steal_qualified"
+    else:
+        covered = warm
+        stat = "median_warm_no_qualified_rep"
+    if len(results) > 1 and results[0]["sec"] < _st.median(r["sec"] for r in covered):
+        stat += "_inverted"
     rep = sorted(covered, key=lambda r: r["rows_per_sec"])[len(covered) // 2]
     med = dict(rep)
     med["stat"] = stat
@@ -197,6 +248,8 @@ def warm_median(results: list[dict]) -> dict:
     med["all_steal_ms"] = [r.get("steal_ms") for r in results]
     med["all_tmpfs_mb"] = [r.get("tmpfs_mb_after") for r in results]
     med["all_shuffle_mb"] = [r.get("shuffle_mb_after") for r in results]
+    med["steal_budget_frac"] = frac
+    med["qualified_reps"] = f"{len(qualified)}/{len(warm)}"
     return med
 
 
