@@ -135,7 +135,7 @@ def schema_violations_slim(
     s1: DataFrame, actual_col: str = "n_tok_actual"
 ) -> DataFrame:
     """Schema invariants computed from a pair table that carried the actual
-    payload length through stage 1 (engine.materialize_pairs) — avoids
+    payload length through stage 1 (plans.oracle.materialize_pairs) — avoids
     rescanning the token payload."""
     mismatch = _as_violation(
         s1.filter(

@@ -218,7 +218,7 @@ def probe_pairs(
     is broadcast and the manifest is ONLY scanned (no manifest-wide shuffle
     on tok_hash — measured 2x the probe cost otherwise). With
     ``include_unmatched=False`` only found pairs return (the caller keeps
-    stage-1 MISSING rows for the rest — plans.engine.materialize_pairs)."""
+    stage-1 MISSING rows for the rest — plans.oracle.materialize_pairs)."""
     m = _manifest_aliased(manifest).filter(F.col("m_tok_hash").isNotNull())
     snap = missed.select("doc_id", "source", "n_tok", "tok_hash")
     withhash = snap.filter(F.col("tok_hash").isNotNull())
@@ -309,8 +309,8 @@ def classify_pairs(
         # stage-1 feeds both the matched branch and the probe branch (and,
         # downstream, both the rollup and the violation extraction) —
         # persist so the big join runs once per action. At 10^12-row scale
-        # prefer plans.engine.materialize_pairs, which writes the pair
-        # table once and derives everything from the written files.
+        # prefer the production one-pass plan (plans.onepass), which writes
+        # the pair table once and derives everything from the written files.
         s1 = s1.persist()
     if not probe_renamed:
         return s1

@@ -26,8 +26,9 @@ reads the written files; nothing touches the payload again, and uniqueness
 violations (per-duplicate dup_rank rows) are reconstructed exactly from the
 identity multiplicities.
 
-Semantics are row-for-row identical to plans.engine.validate_batch
-(tests/test_onepass.py asserts rolled, violations and stats equality); the
+Semantics are row-for-row identical to the two-stage oracle plan
+(plans.oracle.validate_batch, test-support only)
+— tests/test_onepass.py asserts rolled, violations and stats equality; the
 reference anchors are unchanged: verdict tree
 /root/reference/data_validation.py:547-628, content-probe fallback
 :1256-1266, uniqueness dedup-on-insert :728-734.

@@ -1228,20 +1228,29 @@ def streaming_verdict_rollup(spark, sf_dir):
 
     seq, man = stream_parity_tables(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="npdv_stream_q_")
-    landing, out = os.path.join(tmp, "landing"), os.path.join(tmp, "out")
-    seq.write.mode("overwrite").parquet(landing)
-    validate_stream(spark, landing, man, out).awaitTermination()
-    rolled = spark.read.parquet(os.path.join(out, "verdicts"))
-    return rolled.select(
-        "doc_id",
-        "source",
-        "final_verdict_code",
-        "has_valid",
-        "has_invalid",
-        "is_missing",
-        F.col("n_pairs").cast("long").alias("n_pairs"),
-        "row_status",
-    )
+    # the landing/output/checkpoint tree is query-scoped scratch: the
+    # rolled verdicts are materialized on the driver (small: one row per
+    # subject) and the tree removed, so repeated driver runs leave no
+    # npdv_stream_q_* residue in /tmp (ADVICE r5 queries.py:1230)
+    try:
+        landing, out = os.path.join(tmp, "landing"), os.path.join(tmp, "out")
+        seq.write.mode("overwrite").parquet(landing)
+        validate_stream(spark, landing, man, out).awaitTermination()
+        rolled = spark.read.parquet(os.path.join(out, "verdicts")).select(
+            "doc_id",
+            "source",
+            "final_verdict_code",
+            "has_valid",
+            "has_invalid",
+            "is_missing",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            "row_status",
+        )
+        return spark.createDataFrame(rolled.collect(), rolled.schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

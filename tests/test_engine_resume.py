@@ -286,35 +286,57 @@ def test_audit_retention_hadoop_fs_uri(spark, synth_dataset, tmp_path):
 
 
 def test_code_version_derived_from_semantics():
-    """VERDICT r4 #3: CODE_VERSION is a semantic hash of the verdict +
-    constraint modules — comment/docstring edits don't bump it, mutating a
-    verdict branch does (so a semantic change can never silently honor
-    stale checkpoints, and there is no manual bump to forget). Combined
-    with test_round2.test_code_version_bump_invalidates_checkpoints, a
-    changed version re-validates prior checkpoints."""
+    """VERDICT r4 #3 + r5 #2: CODE_VERSION is a semantic hash of EVERY
+    module carrying validation semantics — verdicts, constraints, the
+    one-pass plan (which independently reconstructs rollup/uniqueness/
+    schema from identity multiplicities) and the streaming wrapper.
+    Comment/docstring edits don't bump it; an executable mutation in ANY
+    of the four does (so a semantic change can never silently honor stale
+    checkpoints, and there is no manual bump to forget). Combined with
+    test_round2.test_code_version_bump_invalidates_checkpoints, a changed
+    version re-validates prior checkpoints."""
     from np_data_validation_spark.operators import constraints as C
     from np_data_validation_spark.operators import verdicts as V
+    from np_data_validation_spark.plans import onepass as OP
+    from np_data_validation_spark.streaming import incremental as SI
 
     srcs = []
-    for mod in (V, C):
+    for mod in (V, C, OP, SI):
         with open(mod.__file__, "rb") as f:
             srcs.append(f.read())
     assert E.CODE_VERSION == E._semantic_version(*srcs)
+
+    def with_mutation(idx: int, mutated: bytes) -> str:
+        alt = list(srcs)
+        assert mutated != srcs[idx]
+        alt[idx] = mutated
+        return E._semantic_version(*alt)
+
     # comment-only and docstring-only edits leave the version unchanged
+    assert with_mutation(0, srcs[0] + b"\n# trailing comment\n") == E.CODE_VERSION
     assert (
-        E._semantic_version(srcs[0] + b"\n# trailing comment\n", srcs[1])
+        with_mutation(2, srcs[2].replace(b'"""One-pass', b'"""Edited one-pass', 1))
         == E.CODE_VERSION
     )
     # mutating a verdict branch constant changes it
-    mutated = srcs[0].replace(
-        b"MISSING_COUNTERPART = 14", b"MISSING_COUNTERPART = 15"
+    assert (
+        with_mutation(
+            0, srcs[0].replace(b"MISSING_COUNTERPART = 14", b"MISSING_COUNTERPART = 15")
+        )
+        != E.CODE_VERSION
     )
-    assert mutated != srcs[0]
-    assert E._semantic_version(mutated, srcs[1]) != E.CODE_VERSION
     # a constraint-side change counts too
-    mutated_c = srcs[1].replace(b"def ", b"def x_", 1)
-    assert mutated_c != srcs[1]
-    assert E._semantic_version(srcs[0], mutated_c) != E.CODE_VERSION
+    assert with_mutation(1, srcs[1].replace(b"def ", b"def x_", 1)) != E.CODE_VERSION
+    # an executable mutation in the ONE-PASS reconstruction counts (r5 #2:
+    # a semantic edit made in onepass.py — e.g. to the uniqueness
+    # reconstruction — must invalidate checkpoints even if verdicts.py and
+    # constraints.py are untouched)
+    assert (
+        with_mutation(2, srcs[2].replace(b'"s_mult"', b'"s_mult_x"'))
+        != E.CODE_VERSION
+    )
+    # and so does one in the streaming wrapper
+    assert with_mutation(3, srcs[3].replace(b"def ", b"def x_", 1)) != E.CODE_VERSION
 
 
 def test_code_version_derivable_under_zipimport(tmp_path):

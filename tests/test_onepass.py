@@ -1,5 +1,5 @@
 """Equivalence of the one-pass plan (plans.onepass) with the reference
-two-stage plan (plans.engine.validate_batch): rolled verdicts, violations
+two-stage oracle plan (plans.oracle.validate_batch): rolled verdicts, violations
 (verdict-derived + uniqueness + schema) and per-partition stats must match
 row for row on the fault-injected synthetic dataset (every verdict class,
 duplicates, n_tok mismatches, null payloads present)."""
@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from np_data_validation_spark.operators import stats as S
 from np_data_validation_spark.plans import onepass
-from np_data_validation_spark.plans.engine import validate_batch
+from np_data_validation_spark.plans.oracle import validate_batch
 
 
 @pytest.fixture(scope="module")
@@ -130,13 +130,13 @@ def test_probe_found_null_ntok_not_missing(seq_man, onepass_result):
 
 
 def test_materialize_pairs_matches_classify_pairs(spark, frames, tmp_path):
-    """The write-once-derive alternative plan (engine.materialize_pairs)
+    """The write-once-derive oracle plan (plans.oracle.materialize_pairs)
     must produce the same classified pair multiset as the in-memory plan —
     including per-identity probe semantics on mixed-content duplicates and
     null identity columns (both present in the fixture)."""
     from np_data_validation_spark.functions.hashing import with_tok_hash
     from np_data_validation_spark.operators import verdicts as V
-    from np_data_validation_spark.plans.engine import materialize_pairs
+    from np_data_validation_spark.plans.oracle import materialize_pairs
 
     snapshot, manifest = frames
     mat = materialize_pairs(spark, snapshot, manifest, str(tmp_path / "mat"))

@@ -1,4 +1,4 @@
-"""Randomized one-pass vs validate_batch equivalence sweep.
+"""Randomized one-pass vs plans.oracle.validate_batch equivalence sweep.
 
 The labeled fixture is shaped: every fault class appears, but only in the
 combinations synth injects. ADVICE r2 found two real bugs precisely in
@@ -17,7 +17,7 @@ import pytest
 
 from np_data_validation_spark.functions.hashing import with_tok_hash
 from np_data_validation_spark.plans import onepass
-from np_data_validation_spark.plans.engine import validate_batch
+from np_data_validation_spark.plans.oracle import validate_batch
 
 
 def _rand_tables(spark, seed: int):
