@@ -150,6 +150,34 @@ def test_glob_manifest_hidden_walk_spreads_lopsided_tree(spark, tmp_path):
     assert df.count() == 12 * 4 + 1  # and nothing was lost or duplicated
 
 
+def test_glob_manifest_hidden_walk_deep_single_rooted_chain(spark, tmp_path):
+    """ADVICE r5: a DEEP tree rooted under ONE top-level entry — the case
+    the per-entry os.walk discovery still serialized — must come back
+    complete through the level-synchronous BFS (one distributed listing
+    stage per depth level), including hidden dirs/files at every depth
+    and a wide fan-out buried mid-chain."""
+    d = tmp_path / "chain"
+    d.mkdir()
+    depth = 9
+    cur = d
+    for i in range(depth):
+        cur = cur / (f".h{i}" if i % 3 == 2 else f"lvl{i}")  # hidden dirs too
+        cur.mkdir()
+        (cur / f"f{i}.parquet").write_bytes(b"x" * (i + 1))
+    # a wide level buried mid-chain: fan-out must rebalance, not serialize
+    fan = tmp_path / "chain" / "lvl0" / "lvl1"
+    for j in range(20):
+        w = fan / f"wide{j:02d}"
+        w.mkdir()
+        (w / "_leaf.parquet").write_bytes(b"y" * (j + 1))
+    df = sources.glob_manifest(spark, str(tmp_path), include_hidden=True)
+    rows = {(r["name"], r["size"]) for r in df.collect()}
+    expect = {(f"f{i}.parquet", i + 1) for i in range(depth)} | {
+        ("_leaf.parquet", j + 1) for j in range(20)
+    }
+    assert rows == expect
+
+
 def test_streaming_query_matches_batch_rollup(spark, tmp_path):
     """VERDICT r4 task #5 (streaming-vs-batch parity): the driver's
     ``streaming_verdict_rollup`` entry — the availableNow stream through
