@@ -1,0 +1,74 @@
+"""Unit tests for the steal-qualified benchmark statistics (no Spark).
+
+The scaling gate and the headline bench both summarize rep series through
+``benchlib.warm_median`` and qualify reps through
+``benchlib.steal_qualified`` — the round-6 measurement doctrine (VERDICT
+r5 tasks #1/#3): a rep that ran during a host-steal wave measures the
+host, not the engine, and must not enter the reported statistic.
+"""
+
+from __future__ import annotations
+
+from np_data_validation_spark import benchlib
+
+
+def _rep(sec: float, steal_ms: int | None, rps: float | None = None) -> dict:
+    return {
+        "sec": sec,
+        "rows_per_sec": rps if rps is not None else 1000.0 / sec,
+        "steal_ms": steal_ms,
+    }
+
+
+def test_steal_qualified_budget_boundary():
+    # budget is a fraction of the rep's own wall: 5% of 100s = 5000 ms
+    assert benchlib.steal_qualified(_rep(100.0, 5000), 0.05)
+    assert not benchlib.steal_qualified(_rep(100.0, 5001), 0.05)
+    # missing telemetry (no /proc/stat) cannot disqualify
+    assert benchlib.steal_qualified(_rep(100.0, None), 0.05)
+
+
+def test_warm_median_covers_only_qualified_warm_reps():
+    reps = [
+        _rep(12.0, 100),  # cold (JIT) — never in the statistic
+        _rep(8.0, 100),
+        _rep(30.0, 9000),  # steal wave — excluded
+        _rep(9.0, 100),
+    ]
+    m = benchlib.warm_median(reps, budget_frac=0.05)
+    assert m["stat"] == "median_steal_qualified"
+    assert m["sec"] == 8.5  # median of the two qualified warm reps
+    assert m["qualified_reps"] == "2/3"
+    assert m["cold_sec"] == 12.0
+    assert m["all_sec"] == [12.0, 8.0, 30.0, 9.0]
+
+
+def test_warm_median_flags_fully_degraded_window():
+    reps = [_rep(10.0, 100), _rep(18.0, 5000), _rep(20.0, 6000)]
+    m = benchlib.warm_median(reps, budget_frac=0.05)
+    # falls back to the plain warm median, flagged; the cold-faster
+    # inversion is also flagged because rep 0 beat the covered median
+    assert m["stat"] == "median_warm_no_qualified_rep_inverted"
+    assert m["sec"] == 19.0
+    assert m["qualified_reps"] == "0/2"
+
+
+def test_warm_median_inversion_never_mixes_cold_rep():
+    # ADVICE r5 benchlib:185 — the old fallback medianed over ALL reps on
+    # inversion, which only ever made the headline faster. The cold rep
+    # must stay out of the statistic even when it is the fastest rep.
+    reps = [_rep(5.0, 100), _rep(9.0, 100), _rep(11.0, 100)]
+    m = benchlib.warm_median(reps, budget_frac=0.05)
+    assert m["stat"] == "median_steal_qualified_inverted"
+    assert m["sec"] == 10.0  # median of warm reps only — 5.0 excluded
+    assert m["cold_sec"] == 5.0
+
+
+def test_clk_tck_scaling_is_sysconf_derived():
+    import os
+
+    assert benchlib._CLK_TCK == int(os.sysconf("SC_CLK_TCK"))
+    s = benchlib._steal_ms()
+    # on this Linux sandbox /proc/stat is present and monotonic
+    assert s is not None and s >= 0
+    assert benchlib._steal_ms() >= s
