@@ -184,6 +184,34 @@ def run_level(cpus: int, reps: int, retries: int) -> dict:
         )
 
 
+def load_gate_state(state_path: str) -> dict:
+    """Load completed level-rounds from a crash-resume state file.
+
+    Returns ``{(level, round_idx): result}`` for the rounds worth reusing:
+    a saved round that exhausted its steal-budget retries
+    (``round_steal_qualified`` false) is a degraded-window measurement and
+    is dropped so a resume re-measures it instead of locking the final run
+    into SMOKE status. Tolerates a truncated trailing line (the writer may
+    have been killed mid-append)."""
+    completed: dict[tuple[int, int], dict] = {}
+    if not os.path.exists(state_path):
+        return completed
+    with open(state_path) as f:
+        for line in f:
+            try:
+                entry = json.loads(line)
+            except json.JSONDecodeError:
+                continue  # torn final append from a killed writer
+            if entry["result"].get("round_steal_qualified", True):
+                completed[(entry["level"], entry["round"])] = entry["result"]
+    return completed
+
+
+def append_gate_state(state_path: str, level: int, round_idx: int, result: dict) -> None:
+    with open(state_path, "a") as f:
+        f.write(json.dumps({"level": level, "round": round_idx, "result": result}) + "\n")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=4)
@@ -220,32 +248,22 @@ def main() -> None:
         "BENCH",
         f"gate_state_{args.rows}_{args.n}_{args.xn}_{args.runs}_{args.reps}.jsonl",
     )
-    completed: dict[tuple[int, int], dict] = {}
     if args.fresh and os.path.exists(state_path):
         os.remove(state_path)
-    elif os.path.exists(state_path):
-        with open(state_path) as f:
-            for line in f:
-                entry = json.loads(line)
-                # A saved round that exhausted its steal-budget retries is a
-                # degraded-window measurement: re-measure it on resume
-                # instead of locking the final run into SMOKE status.
-                if entry["result"].get("round_steal_qualified", True):
-                    completed[(entry["level"], entry["round"])] = entry["result"]
-        if completed:
-            print(
-                f"resuming: {len(completed)} completed level-round(s) loaded "
-                f"from {state_path}",
-                file=sys.stderr,
-            )
+    completed = load_gate_state(state_path)
+    if completed:
+        print(
+            f"resuming: {len(completed)} completed level-round(s) loaded "
+            f"from {state_path}",
+            file=sys.stderr,
+        )
 
     def measure(level: int, round_idx: int) -> dict:
         key = (level, round_idx)
         if key in completed:
             return completed[key]
         r = run_level(level, args.reps, args.steal_retries)
-        with open(state_path, "a") as f:
-            f.write(json.dumps({"level": level, "round": round_idx, "result": r}) + "\n")
+        append_gate_state(state_path, level, round_idx, r)
         return r
 
     # Interleave levels (fresh JVM per round per level) so time-correlated

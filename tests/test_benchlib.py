@@ -72,3 +72,49 @@ def test_clk_tck_scaling_is_sysconf_derived():
     # on this Linux sandbox /proc/stat is present and monotonic
     assert s is not None and s >= 0
     assert benchlib._steal_ms() >= s
+
+
+def _scaling_module():
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "BENCH", "scaling.py")
+    spec = importlib.util.spec_from_file_location("npdv_bench_scaling", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_gate_state_roundtrip_skips_degraded_rounds(tmp_path):
+    # Crash-resume doctrine: a saved level-round is only reused if it was
+    # steal-qualified; a round that exhausted its retries in a degraded
+    # window must be re-measured on resume, not locked in.
+    scaling = _scaling_module()
+    state = str(tmp_path / "state.jsonl")
+    good = {"sec": 100.0, "rows_per_sec": 1.0, "round_steal_qualified": True}
+    bad = {"sec": 300.0, "rows_per_sec": 0.3, "round_steal_qualified": False}
+    scaling.append_gate_state(state, 4, 0, good)
+    scaling.append_gate_state(state, 16, 0, bad)
+    scaling.append_gate_state(state, 4, 1, good)
+    loaded = scaling.load_gate_state(state)
+    assert set(loaded) == {(4, 0), (4, 1)}
+    assert loaded[(4, 0)] == good
+
+
+def test_gate_state_tolerates_torn_final_line(tmp_path):
+    # The writer can be killed mid-append; the truncated line must not
+    # poison the resume of the completed rounds before it.
+    scaling = _scaling_module()
+    state = str(tmp_path / "state.jsonl")
+    scaling.append_gate_state(
+        state, 4, 0, {"sec": 1.0, "round_steal_qualified": True}
+    )
+    with open(state, "a") as f:
+        f.write('{"level": 16, "round": 0, "result": {"sec"')
+    loaded = scaling.load_gate_state(state)
+    assert set(loaded) == {(4, 0)}
+
+
+def test_gate_state_missing_file_is_empty():
+    scaling = _scaling_module()
+    assert scaling.load_gate_state("/nonexistent/state.jsonl") == {}
