@@ -420,8 +420,10 @@ Reproduce: `python BENCH/scaling.py --n {args.n} --xn {args.xn} --runs {args.run
             "BASELINE.md untouched",
             file=sys.stderr,
         )
-        if os.path.exists(state_path):
-            os.remove(state_path)  # run completed; state is now in the md
+        # Keep the state file: a relaunch with the same config reuses the
+        # qualified level-rounds and re-measures only the degraded ones
+        # (load_gate_state drops non-qualified rounds). Deleting here would
+        # force a full re-run after every steal-degraded window.
         return
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
