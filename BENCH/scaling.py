@@ -106,8 +106,13 @@ def gc_ms():
 root = benchlib.ensure_bench_data()
 results = []
 for i in range(reps):
+    # memory-bandwidth canary BEFORE the rep: steal telemetry can't see
+    # co-tenant bandwidth pollution; an inflated canary_sec beside a low
+    # steal_ms attributes a qualified-but-slow rep (VERDICT r6 task #2)
+    c0 = benchlib.memory_canary_sec()
     g0, s0, t0 = gc_ms(), steal_ms(), time.time()
     r = benchlib.run_validation_job(spark, root)
+    r["canary_sec"] = round(c0, 3) if c0 is not None else None
     r["gc_ms"] = gc_ms() - g0
     s1 = steal_ms()
     r["steal_ms"] = (s1 - s0) if (s0 is not None and s1 is not None) else None
@@ -133,6 +138,7 @@ best["round_steal_qualified"] = bool(qualified)
 best["all_sec"] = [round(r["sec"], 2) for r in results]
 best["all_gc_ms"] = [r["gc_ms"] for r in results]
 best["all_steal_ms"] = [r["steal_ms"] for r in results]
+best["all_canary_sec"] = [r["canary_sec"] for r in results]
 best["all_shm_mb"] = [r["shm_mb_after"] for r in results]
 best["all_qualified"] = [r["steal_qualified"] for r in results]
 best["steal_budget_frac"] = benchlib.STEAL_BUDGET_FRAC
@@ -184,15 +190,20 @@ def run_level(cpus: int, reps: int, retries: int) -> dict:
         )
 
 
-def load_gate_state(state_path: str) -> dict:
+def load_gate_state(state_path: str, budget_frac: float | None = None) -> dict:
     """Load completed level-rounds from a crash-resume state file.
 
     Returns ``{(level, round_idx): result}`` for the rounds worth reusing:
     a saved round that exhausted its steal-budget retries
     (``round_steal_qualified`` false) is a degraded-window measurement and
     is dropped so a resume re-measures it instead of locking the final run
-    into SMOKE status. Tolerates a truncated trailing line (the writer may
-    have been killed mid-append)."""
+    into SMOKE status. A round qualified under a DIFFERENT steal budget
+    than the current run's is also dropped — the state filename keys the
+    run shape but not NPDV_STEAL_BUDGET_FRAC, so without this check a
+    resume could silently mix rounds qualified under a looser budget into
+    a run that reports a stricter one (ADVICE r6 scaling:249). Tolerates
+    a truncated trailing line (the writer may have been killed
+    mid-append)."""
     completed: dict[tuple[int, int], dict] = {}
     if not os.path.exists(state_path):
         return completed
@@ -202,8 +213,17 @@ def load_gate_state(state_path: str) -> dict:
                 entry = json.loads(line)
             except json.JSONDecodeError:
                 continue  # torn final append from a killed writer
-            if entry["result"].get("round_steal_qualified", True):
-                completed[(entry["level"], entry["round"])] = entry["result"]
+            res = entry["result"]
+            if not res.get("round_steal_qualified", True):
+                continue
+            saved_frac = res.get("steal_budget_frac")
+            if (
+                budget_frac is not None
+                and saved_frac is not None
+                and abs(saved_frac - budget_frac) > 1e-12
+            ):
+                continue  # qualified under a different budget — re-measure
+            completed[(entry["level"], entry["round"])] = res
     return completed
 
 
@@ -250,7 +270,7 @@ def main() -> None:
     )
     if args.fresh and os.path.exists(state_path):
         os.remove(state_path)
-    completed = load_gate_state(state_path)
+    completed = load_gate_state(state_path, benchlib.STEAL_BUDGET_FRAC)
     if completed:
         print(
             f"resuming: {len(completed)} completed level-round(s) loaded "
@@ -329,6 +349,7 @@ def main() -> None:
                 f"sec {r['all_sec']}, gc_ms {r['all_gc_ms']}, "
                 f"host-steal ms {r.get('all_steal_ms')}, "
                 f"steal-qualified {r.get('all_qualified')}, "
+                f"bandwidth-canary sec {r.get('all_canary_sec')}, "
                 f"shuffle-tmpfs MB after each rep {r['all_shm_mb']}"
             )
         return "\n".join(lines)
@@ -357,6 +378,13 @@ its wall time (/proc/stat delta per rep, SC_CLK_TCK-scaled); a level-round
 with NO qualifying rep is discarded and re-run (bounded retries). This run:
 all rounds steal-qualified = {all_rounds_qualified}. Per-rep steal_ms and
 qualification flags are listed under "All measured runs" below.
+
+**Bandwidth canary**: each rep is preceded by a fixed single-core
+memory-bound microbenchmark ({benchlib.CANARY_PASSES} streaming sums over a
+{benchlib.CANARY_MB} MiB array; `canary_sec` per rep below). Steal telemetry
+cannot see co-tenant memory-bandwidth pollution, so an inflated canary next
+to a low steal_ms attributes a qualified-but-slow rep to bandwidth, not the
+engine.
 
 Median-round phase breakdown (sec): local[{args.n}] {lo.get('phases')},
 local[{args.xn}] {hi.get('phases')}

@@ -64,6 +64,34 @@ def test_warm_median_inversion_never_mixes_cold_rep():
     assert m["cold_sec"] == 5.0
 
 
+def test_warm_median_labels_unmeasured_telemetry():
+    # VERDICT r6 task #4: a host with no /proc/stat "qualifies" every rep
+    # by absence of telemetry — the stat label must not claim the budget
+    # was enforced.
+    reps = [_rep(12.0, None), _rep(8.0, None), _rep(9.0, None)]
+    m = benchlib.warm_median(reps, budget_frac=0.05)
+    assert m["stat"] == "median_steal_unmeasured"
+    assert m["sec"] == 8.5
+    # one measured rep among the covered ones restores the qualified label
+    reps = [_rep(12.0, None), _rep(8.0, 100), _rep(9.0, None)]
+    m = benchlib.warm_median(reps, budget_frac=0.05)
+    assert m["stat"] == "median_steal_qualified"
+
+
+def test_memory_canary_is_memory_sized_and_disable_gated():
+    # tiny shape so the test is fast; the canary must return a positive
+    # wall time, reuse its array across calls, and honor the disable gate
+    t1 = benchlib.memory_canary_sec(mb=8, passes=2)
+    assert t1 is not None and t1 > 0
+    arr = benchlib._CANARY_ARR
+    assert arr is not None and arr.nbytes == 8 * 1024 * 1024
+    t2 = benchlib.memory_canary_sec(mb=8, passes=2)
+    assert benchlib._CANARY_ARR is arr  # no realloc between reps
+    assert t2 is not None
+    assert benchlib.memory_canary_sec(mb=0) is None
+    assert benchlib.memory_canary_sec(mb=8, passes=0) is None
+
+
 def test_clk_tck_scaling_is_sysconf_derived():
     import os
 
@@ -99,6 +127,30 @@ def test_gate_state_roundtrip_skips_degraded_rounds(tmp_path):
     loaded = scaling.load_gate_state(state)
     assert set(loaded) == {(4, 0), (4, 1)}
     assert loaded[(4, 0)] == good
+
+
+def test_gate_state_drops_rounds_from_a_different_budget(tmp_path):
+    # ADVICE r6 scaling:249 — the state filename doesn't key the steal
+    # budget, so a resume must drop rounds qualified under a different
+    # NPDV_STEAL_BUDGET_FRAC than the current run reports. Legacy entries
+    # with no recorded budget are kept (they predate the field).
+    scaling = _scaling_module()
+    state = str(tmp_path / "state.jsonl")
+    loose = {
+        "sec": 100.0,
+        "rows_per_sec": 1.0,
+        "round_steal_qualified": True,
+        "steal_budget_frac": 0.25,
+    }
+    matching = dict(loose, steal_budget_frac=0.05)
+    legacy = {"sec": 90.0, "rows_per_sec": 1.1, "round_steal_qualified": True}
+    scaling.append_gate_state(state, 4, 0, loose)
+    scaling.append_gate_state(state, 4, 1, matching)
+    scaling.append_gate_state(state, 16, 0, legacy)
+    loaded = scaling.load_gate_state(state, budget_frac=0.05)
+    assert set(loaded) == {(4, 1), (16, 0)}
+    # no budget passed -> everything qualified is reused (old behavior)
+    assert set(scaling.load_gate_state(state)) == {(4, 0), (4, 1), (16, 0)}
 
 
 def test_gate_state_tolerates_torn_final_line(tmp_path):
