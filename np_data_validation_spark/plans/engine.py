@@ -69,10 +69,22 @@ def _derive_code_version() -> str:
     identity multiplicities, so a semantic change made there must bump the
     version too (VERDICT r5 "what's wrong" #2).
 
-    Falls back to a package-version tag when module source is not
-    retrievable (e.g. a .pyc-only deployment, where inspect.getsource
-    raises) — a coarser version that may re-validate more than strictly
-    needed, but the module stays importable (ADVICE r5 engine.py:75)."""
+    Fallback ladder when module source is not retrievable (e.g. a
+    .pyc-only deployment, where inspect.getsource raises; ADVICE r5
+    engine.py:75, hardened per ADVICE r6 engine.py:95):
+
+    1. hash the modules' COMPILED bytes via each loader's ``get_data``
+       (works for filesystem ``__pycache__`` and zipimport archives) —
+       coarser than the semantic hash (recompilation or docstring edits
+       also bump it), but it still TRACKS the deployed code, so a
+       semantic change can never silently honor stale checkpoints;
+    2. honor an explicit ``NPDV_CODE_VERSION`` env override (an operator
+       who knows the deploy's version discipline can restore resume);
+    3. last resort: a unique per-process tag plus a loud warning — every
+       checkpoint re-validates. Failing toward REDUNDANT work is the
+       safe direction; the previous static ``pkg-<version>`` tag failed
+       the other way (semantic changes no longer bumped the version, so
+       stale checkpoints could be silently honored)."""
     import inspect
 
     # imported here, not at module top: streaming.incremental imports
@@ -90,9 +102,36 @@ def _derive_code_version() -> str:
             *(inspect.getsource(mod).encode() for mod in (V, C, OP, SI))
         )
     except (OSError, TypeError, SyntaxError):
-        from np_data_validation_spark import __version__ as _pkg_version
+        pass
+    try:
+        # compiled-bytes hash: spec.origin is the importable artifact
+        # (.pyc under a pyc-only deploy, the archive member under
+        # zipimport) and every loader that got the module imported can
+        # get_data it
+        import hashlib
 
-        return f"pkg-{_pkg_version}"
+        h = hashlib.sha256()
+        for mod in (V, C, OP, SI):
+            spec = mod.__spec__
+            h.update(spec.loader.get_data(spec.origin))
+        return "pyc-" + h.hexdigest()[:12]
+    except Exception:  # noqa: BLE001 - any loader without get_data
+        pass
+    override = os.environ.get("NPDV_CODE_VERSION")
+    if override:
+        return f"env-{override}"
+    import warnings
+
+    tag = f"underivable-{uuid.uuid4().hex[:12]}"
+    warnings.warn(
+        "CODE_VERSION could not be derived from module source or compiled "
+        "bytes; using a unique per-process tag so NO prior checkpoint is "
+        "honored (everything re-validates). Set NPDV_CODE_VERSION to a "
+        "deploy-tracking value to restore checkpoint resume.",
+        RuntimeWarning,
+        stacklevel=2,
+    )
+    return tag
 
 
 #: engine/code version recorded in lineage so stale checkpoints re-run.

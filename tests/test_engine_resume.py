@@ -339,6 +339,45 @@ def test_code_version_derived_from_semantics():
     assert with_mutation(3, srcs[3].replace(b"def ", b"def x_", 1)) != E.CODE_VERSION
 
 
+def test_code_version_fallback_ladder(monkeypatch):
+    """ADVICE r6 engine.py:95: when inspect.getsource fails (.pyc-only
+    deploy) the fallback must still TRACK the deployed code — the old
+    static pkg-<version> tag meant semantic changes stopped bumping
+    CODE_VERSION, so stale checkpoints could be silently honored. Ladder:
+    compiled-bytes hash -> NPDV_CODE_VERSION override -> unique
+    per-process tag (re-validates everything; fails toward redundant
+    work, never toward stale results)."""
+    import inspect as _inspect
+    import warnings
+
+    def boom(_path):
+        raise OSError("pyc-only deploy")
+
+    monkeypatch.setattr(_inspect, "getsource", boom)
+    v1 = E._derive_code_version()
+    assert v1.startswith("pyc-")
+    assert E._derive_code_version() == v1  # deterministic: tracks bytes
+    assert v1 != E.CODE_VERSION  # distinct namespace from the semantic hash
+
+    # step 2: compiled bytes unavailable too -> explicit override wins
+    from np_data_validation_spark.operators import verdicts as V
+
+    monkeypatch.setattr(V.__spec__.loader, "get_data", boom, raising=False)
+    monkeypatch.setenv("NPDV_CODE_VERSION", "deploy-7")
+    assert E._derive_code_version() == "env-deploy-7"
+
+    # step 3: nothing derivable, no override -> loud warning + a tag that
+    # matches NO stored checkpoint (unique per derivation)
+    monkeypatch.delenv("NPDV_CODE_VERSION")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        a = E._derive_code_version()
+        b = E._derive_code_version()
+    assert a.startswith("underivable-") and b.startswith("underivable-")
+    assert a != b
+    assert any("NPDV_CODE_VERSION" in str(w.message) for w in caught)
+
+
 def test_code_version_derivable_under_zipimport(tmp_path):
     """The spark-submit --py-files deployment imports the package from a
     zip; deriving CODE_VERSION must work there too (no openable __file__)
