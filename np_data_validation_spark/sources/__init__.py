@@ -272,6 +272,17 @@ def glob_manifest(
         levels.append(nxt)
         level = nxt
     rdd = sc.union(levels).repartition(par).mapPartitions(stat_files)
+    # Materialize the stat rows and truncate lineage BEFORE dropping the
+    # level caches: without this the returned DataFrame's lineage pins one
+    # persisted RDD per tree depth per glob_manifest call for the session
+    # lifetime (ADVICE r6 sources:264). localCheckpoint stores the listing
+    # on the executors, so the levels can be unpersisted immediately; a
+    # lost executor loses its checkpointed partitions and fails the job —
+    # acceptable for a listing, which is simply re-run.
+    rdd.localCheckpoint()  # marks in place (RDD API returns None)
+    rdd.count()
+    for lv in levels:
+        lv.unpersist()
     listing = spark.createDataFrame(rdd, "name string, path string, size long")
     return listing.filter(F.col("name").rlike(name_rlike))
 

@@ -178,6 +178,25 @@ def test_glob_manifest_hidden_walk_deep_single_rooted_chain(spark, tmp_path):
     assert rows == expect
 
 
+def test_glob_manifest_hidden_walk_unpersists_level_caches(spark, tmp_path):
+    """ADVICE r6 sources:264: the BFS persisted one level RDD per tree
+    depth and left all but the final empty level pinned for the session
+    lifetime (accumulating across glob_manifest calls). After the call
+    returns, at most ONE cached RDD per call may remain — the
+    localCheckpointed listing itself — not one per depth level."""
+    cur = tmp_path
+    depth = 6
+    for i in range(depth):
+        cur = cur / f"lvl{i}"
+        cur.mkdir()
+        (cur / f"f{i}.parquet").write_bytes(b"x")
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    df = sources.glob_manifest(spark, str(tmp_path), include_hidden=True)
+    assert df.count() == depth
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after - before <= 1
+
+
 def test_streaming_query_matches_batch_rollup(spark, tmp_path):
     """VERDICT r4 task #5 (streaming-vs-batch parity): the driver's
     ``streaming_verdict_rollup`` entry — the availableNow stream through
