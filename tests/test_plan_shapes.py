@@ -94,3 +94,67 @@ def test_uniqueness_is_filter_not_aggregation(spark, seq_man, tmp_path):
     ids = spark.read.parquet(ids_path)
     plan = _plan(onepass.uniqueness_violations_from_identities(ids))
     assert "PushedFilters: [IsNotNull(tot_mult), GreaterThan(tot_mult,1)]" in plan
+
+
+def _plan_signature(df) -> list[str]:
+    """Ordered operator-name list from the formatted explain of the
+    pre-execution plan, stripped of codegen ids — a stable shape key:
+    exchanges, join strategies, scans and aggregates all appear by name,
+    while data-dependent details (paths, sizes, stats) do not."""
+    import re
+
+    jqe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    ops = []
+    for line in jqe.explainString(mode).splitlines():
+        m = re.match(r"^\(\d+\)\s+(.*)$", line.strip())
+        if m is None:
+            continue
+        name = re.sub(r"\s*\[codegen id : \d+\]\s*$", "", m.group(1)).strip()
+        ops.append(name)
+    return ops
+
+
+def test_headline_plan_snapshots(spark):
+    """VERDICT r6 task #7: snapshot the physical-plan operator list for
+    every headline bench query so a plan regression (a lost broadcast, an
+    extra exchange, a join strategy flip) is caught by pytest instead of
+    by a bench-number argument after the fact. A deliberate plan change
+    must update the snapshot explicitly:
+
+        NPDV_UPDATE_PLAN_SNAPSHOTS=1 python -m pytest tests/test_plan_shapes.py -q
+    """
+    import json
+    import os
+
+    from bench import HEADLINE
+    from np_data_validation_spark import queries as Q
+
+    sf_dir = "/root/testdata/sf0.001"
+    snap_path = os.path.join(os.path.dirname(__file__), "plan_snapshots.json")
+    qs = Q.queries()
+    sigs = {name: _plan_signature(qs[name](spark, sf_dir)) for name in HEADLINE}
+
+    if os.environ.get("NPDV_UPDATE_PLAN_SNAPSHOTS"):
+        with open(snap_path, "w") as f:
+            json.dump(sigs, f, indent=1, sort_keys=True)
+        return
+
+    assert os.path.exists(snap_path), (
+        "no plan snapshot committed; generate one with "
+        "NPDV_UPDATE_PLAN_SNAPSHOTS=1"
+    )
+    with open(snap_path) as f:
+        expected = json.load(f)
+    for name in HEADLINE:
+        assert name in expected, f"{name}: no snapshot (update snapshots)"
+        if sigs[name] != expected[name]:
+            got, want = sigs[name], expected[name]
+            raise AssertionError(
+                f"physical plan changed for {name}:\n"
+                f"  expected: {want}\n"
+                f"  got:      {got}\n"
+                "If deliberate, re-generate with NPDV_UPDATE_PLAN_SNAPSHOTS=1."
+            )
