@@ -416,7 +416,7 @@ All measured runs:
 {runs_block(f'local[{args.n}]', lo_rounds)}
 {runs_block(f'local[{args.xn}]', hi_rounds)}
 
-Reproduce: `python BENCH/scaling.py --n {args.n} --xn {args.xn} --runs {args.runs} --reps {args.reps}`
+Reproduce: `python BENCH/scaling.py --rows {args.rows} --n {args.n} --xn {args.xn} --runs {args.runs} --reps {args.reps} --steal-retries {args.steal_retries}`
 (bench data cached under /tmp).
 """
     # Prior qualified runs (with their host-condition attribution) live in
