@@ -117,25 +117,32 @@ def _plan_signature(df) -> list[str]:
     return ops
 
 
-def test_headline_plan_snapshots(spark):
-    """VERDICT r6 task #7: snapshot the physical-plan operator list for
-    every headline bench query so a plan regression (a lost broadcast, an
-    extra exchange, a join strategy flip) is caught by pytest instead of
-    by a bench-number argument after the fact. A deliberate plan change
-    must update the snapshot explicitly:
+#: queries whose driver-contract callable has side effects beyond building
+#: a DataFrame (the streaming entry runs an availableNow stream through a
+#: temp dir when invoked), so they cannot be plan-snapshotted cheaply.
+PLAN_SNAPSHOT_EXCLUDE = {"streaming_verdict_rollup"}
+
+
+def test_query_plan_snapshots(spark):
+    """VERDICT r6 task #7 (extended r7 from the 10 headline queries to the
+    whole batch suite): snapshot the physical-plan operator list for every
+    driver-contract query so a plan regression (a lost broadcast, an extra
+    exchange, a join strategy flip) is caught by pytest instead of by a
+    bench-number argument after the fact. A deliberate plan change must
+    update the snapshot explicitly:
 
         NPDV_UPDATE_PLAN_SNAPSHOTS=1 python -m pytest tests/test_plan_shapes.py -q
     """
     import json
     import os
 
-    from bench import HEADLINE
     from np_data_validation_spark import queries as Q
 
     sf_dir = "/root/testdata/sf0.001"
     snap_path = os.path.join(os.path.dirname(__file__), "plan_snapshots.json")
     qs = Q.queries()
-    sigs = {name: _plan_signature(qs[name](spark, sf_dir)) for name in HEADLINE}
+    names = sorted(set(qs) - PLAN_SNAPSHOT_EXCLUDE)
+    sigs = {name: _plan_signature(qs[name](spark, sf_dir)) for name in names}
 
     if os.environ.get("NPDV_UPDATE_PLAN_SNAPSHOTS"):
         with open(snap_path, "w") as f:
@@ -148,7 +155,9 @@ def test_headline_plan_snapshots(spark):
     )
     with open(snap_path) as f:
         expected = json.load(f)
-    for name in HEADLINE:
+    stale = sorted(set(expected) - set(names))
+    assert not stale, f"snapshots for unknown queries {stale} (update snapshots)"
+    for name in names:
         assert name in expected, f"{name}: no snapshot (update snapshots)"
         if sigs[name] != expected[name]:
             got, want = sigs[name], expected[name]
