@@ -25,6 +25,7 @@ HEADLINE = [
     "tx_quality_scores",
     "dd_exact_dup_groups",
     "dd_simhash_values",
+    "dd_contamination",
     "sim_cosine_topk",
     "udf_xxhash_tokens",
 ]

@@ -42,6 +42,24 @@ SIMHASH_BITS = 32
 SIMHASH_BANDS = 4  # 4 bands x 8 bits
 
 
+def ensure_cpu_splits(df: DataFrame) -> DataFrame:
+    """Exchange a DataFrame that arrives as fewer partitions than the
+    session's default parallelism.
+
+    The shingle/fingerprint expressions in this module are higher-order
+    functions, and Catalyst does not codegen lambda bodies — they evaluate
+    interpreted at ~20us per element, i.e. CPU-bound. A corpus scanned
+    from a handful of small files would run that work on a handful of
+    cores; one exchange of the raw rows fixes the undersplit. At
+    production split counts (any corpus big enough to matter yields far
+    more input splits than cores) this is a no-op and the corpus is never
+    shuffled."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -116,7 +134,7 @@ def minhash_bands(
     """(doc_id, band, band_hash) — long form, one row per doc x band."""
     assert k % bands == 0
     r = k // bands
-    sig = docs.select("doc_id", *minhash_signature(text_col, k, n))
+    sig = ensure_cpu_splits(docs).select("doc_id", *minhash_signature(text_col, k, n))
     band_structs = F.array(
         *[
             F.struct(
@@ -174,7 +192,9 @@ def jaccard_pairs(
     """Exact n-gram Jaccard on candidate pairs (the verify pass of the
     two-pass cheap-filter-then-expensive-check pattern, reference J7,
     /root/reference/data_validation.py:1256-1266)."""
-    sh = docs.select(F.col("doc_id"), shingle_expr(text_col, n).alias("sh"))
+    sh = ensure_cpu_splits(docs).select(
+        F.col("doc_id"), shingle_expr(text_col, n).alias("sh")
+    )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     out = (
@@ -190,6 +210,82 @@ def jaccard_pairs(
         .select("doc_a", "doc_b", "jaccard")
     )
     return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+#: word n-gram width for contamination checks. Real pipelines use 8-13;
+#: the synthetic test corpus has ~30-word documents, so the default stays
+#: small enough to exercise the operator end-to-end.
+CONTAM_NGRAM_N = 4
+
+
+def word_ngram_hashes(text_col: str = "text", n: int = CONTAM_NGRAM_N) -> Column:
+    """Distinct portable hashes of word n-grams — a row-local expression
+    (zero shuffle). Words are the same normalized ``[a-z0-9]+`` tokens the
+    SimHash family uses; each n-gram is the space-joined window hashed with
+    the portable 60-bit hash so the DuckDB twin is bit-identical."""
+    words = F.regexp_extract_all(normalize_text(text_col), F.lit("[a-z0-9]+"), 0)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: portable_hash60(F.concat_ws(" ", F.slice(words, i, n))),
+    )
+    # sequence(1, k) counts DOWN when k < 1, so documents shorter than n
+    # words must map to an empty gram set explicitly
+    return F.array_distinct(
+        F.when(F.size(words) >= n, grams).otherwise(F.array().cast("array<long>"))
+    )
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = CONTAM_NGRAM_N,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Training-corpus decontamination against a benchmark/eval suite: flag
+    corpus documents sharing >= ``min_overlap`` distinct word n-grams with
+    ANY benchmark document (the n-gram-overlap doctrine used to scrub eval
+    sets out of web-scale training corpora).
+
+    Scale shape (the one that survives 100 TB): the benchmark side is an
+    eval suite — thousands of documents, not billions — so its distinct
+    shingle set is built once and BROADCAST; the corpus is scanned once,
+    its shingles exploded and joined map-side against the broadcast build
+    (no corpus shuffle at production split counts — see the undersplit
+    guard below), and only the slim (doc_id, matched shingle) survivors —
+    a tiny fraction of the fan-out after the join filter — reach the
+    per-doc aggregation, whose key (doc_id) is unique and therefore
+    unskewed by construction.
+
+    Returns ``(doc_id, n_shingles, n_matched)`` for contaminated docs;
+    ``n_matched`` counts DISTINCT shared n-grams (the per-doc shingle set
+    is already deduplicated row-locally).
+    """
+    corpus = ensure_cpu_splits(corpus)
+    shs = word_ngram_hashes(text_col, n)
+    bench_sh = benchmark.select(F.explode(shs).alias("sh")).distinct()
+    # explode_outer, not explode: plain explode makes Catalyst push its
+    # implied `size(_shs) > 0 AND isnotnull(_shs)` predicate through the
+    # projection, re-inlining the full n-gram expression into the Filter —
+    # the md5 shingling then runs ~3x per corpus row. With the outer
+    # variant nothing is pushed, the grams are computed ONCE per row, and
+    # the inner join's own isnotnull(sh) drops shingle-less docs on the
+    # cheap exploded value instead.
+    cor = corpus.select(F.col("doc_id"), shs.alias("_shs")).select(
+        "doc_id",
+        F.size("_shs").cast("long").alias("n_shingles"),
+        F.explode_outer("_shs").alias("sh"),
+    )
+    return (
+        cor.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .filter(F.col("n_matched") >= min_overlap)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -239,7 +335,7 @@ def simhash_bands(
 ) -> DataFrame:
     width = SIMHASH_BITS // bands
     mask = (1 << width) - 1
-    sh = docs.select("doc_id", simhash_expr(text_col).alias("simhash"))
+    sh = ensure_cpu_splits(docs).select("doc_id", simhash_expr(text_col).alias("simhash"))
     band_structs = F.array(
         *[
             F.struct(
@@ -289,6 +385,20 @@ def simhash_near_dups(
 # ---------------------------------------------------------------------------
 # DuckDB twin SQL builders (for __spark_entry__ oracles)
 # ---------------------------------------------------------------------------
+
+
+def word_ngram_hashes_sql(expr: str, n: int = CONTAM_NGRAM_N) -> str:
+    """DuckDB-side twin of word_ngram_hashes. generate_series(1, 0) is
+    empty in DuckDB (unlike Spark's descending sequence), so the short-doc
+    guard is the greatest(..., 0) bound alone."""
+    t = normalize_text_sql(expr)
+    words = f"regexp_extract_all({t}, '[a-z0-9]+')"
+    gram = f"array_to_string(list_slice({words}, i, i + {n - 1}), ' ')"
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({words}) - {n - 1}, 0)), "
+        f"i -> {portable_hash60_sql(gram)}))"
+    )
 
 
 def shingle_sql(expr: str, n: int = SHINGLE_N) -> str:

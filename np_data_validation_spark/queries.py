@@ -758,7 +758,7 @@ def dd_minhash_lsh_pairs(spark, sf_dir):
         SELECT doc_id, {DD.simhash_sql('text')} AS simhash FROM aug""",
 )
 def dd_simhash_values(spark, sf_dir):
-    aug = _augmented_docs(_t(spark, sf_dir, "documents"))
+    aug = DD.ensure_cpu_splits(_augmented_docs(_t(spark, sf_dir, "documents")))
     return aug.select("doc_id", DD.simhash_expr("text").alias("simhash"))
 
 
@@ -782,6 +782,40 @@ def dd_jaccard_verified(spark, sf_dir):
     cand = DD.minhash_lsh_candidates(aug, max_bucket=None)
     out = DD.jaccard_pairs(aug, cand, threshold=0.8)
     return out.select("doc_a", "doc_b", _i6(F.col("jaccard")).alias("jaccard_i6"))
+
+
+@q(
+    "dd_contamination",
+    f"""WITH bench AS (SELECT * FROM documents WHERE doc_id % 17 = 0),
+         corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0
+           UNION ALL
+           SELECT doc_id + 300000 AS doc_id, substr(text, 6) AS text FROM bench),
+         bsh AS (SELECT DISTINCT unnest({DD.word_ngram_hashes_sql('text')}) AS sh
+                 FROM bench),
+         csh AS (SELECT doc_id, {DD.word_ngram_hashes_sql('text')} AS shs
+                 FROM corpus),
+         ex AS (SELECT doc_id, len(shs) AS n_shingles, unnest(shs) AS sh FROM csh)
+        SELECT doc_id, n_shingles, count(*) AS n_matched
+        FROM ex WHERE sh IN (SELECT sh FROM bsh)
+        GROUP BY doc_id, n_shingles""",
+)
+def dd_contamination(spark, sf_dir):
+    """Benchmark decontamination: documents with doc_id % 17 == 0 play the
+    eval suite; the training corpus is everything else PLUS planted leaks
+    (eval docs re-inserted under doc_id+300000 with a 5-char prefix cut, so
+    partial leaks must still be caught). The eval shingle set is broadcast;
+    the corpus never shuffles (see operators/dedup.py:contamination_overlap
+    for the 100-TB shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    leaked = (
+        bench.withColumn("doc_id", F.col("doc_id") + 300000)
+        .withColumn("text", F.expr("substr(text, 6)"))
+        .select("doc_id", "text")
+    )
+    corpus = docs.filter(F.col("doc_id") % 17 != 0).select("doc_id", "text").unionByName(leaked)
+    return DD.contamination_overlap(corpus, bench, n=DD.CONTAM_NGRAM_N, min_overlap=1)
 
 
 # --- similarity ---------------------------------------------------------------

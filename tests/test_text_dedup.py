@@ -117,3 +117,55 @@ def test_simhash_value_stability(spark):
     b = df.select(DD.simhash_expr("text").alias("s")).collect()[0]["s"]
     assert a == b
     assert 0 <= a < 2**32
+
+
+def test_contamination_overlap_planted(spark):
+    """contamination_overlap flags exactly the corpus docs sharing >=
+    min_overlap distinct word n-grams with the benchmark set; n_matched
+    counts DISTINCT shared n-grams (repeats inside one doc count once)."""
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares 2 distinct 4-grams (the two windows of the leaked span)
+            (10, "xx alpha beta gamma delta epsilon yy"),
+            # shares 1 distinct 4-gram, REPEATED — must count once
+            (11, "alpha beta gamma delta zz alpha beta gamma delta"),
+            # shares words but no 4-word window
+            (12, "alpha beta zz gamma delta"),
+            # shorter than n words
+            (13, "alpha beta"),
+            (14, "totally unrelated text about something else entirely ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_shingles"], r["n_matched"])
+        for r in DD.contamination_overlap(corpus, bench, n=4, min_overlap=1).collect()
+    }
+    assert set(out) == {10, 11}
+    assert out[10] == (4, 2)   # 4 windows in a 7-word doc, 2 leaked
+    assert out[11][1] == 1     # repeated leak counts once
+    # min_overlap gates the flag
+    strict = DD.contamination_overlap(corpus, bench, n=4, min_overlap=2).collect()
+    assert {r["doc_id"] for r in strict} == {10}
+
+
+def test_word_ngram_hashes_short_and_null_docs(spark):
+    df = spark.createDataFrame(
+        [("a b c",), (None,), ("",), ("one two three four",)], "text string"
+    )
+    got = df.select(DD.word_ngram_hashes("text", 4).alias("g")).collect()
+    assert [len(r["g"]) if r["g"] is not None else None for r in got] == [0, 0, 0, 1]
+
+
+def test_ensure_cpu_splits_guard(spark):
+    """Undersplit guard: a 1-partition input is exchanged up to the
+    session's default parallelism; an input already at or above it is
+    returned untouched (no extra shuffle at production split counts)."""
+    par = spark.sparkContext.defaultParallelism
+    small = spark.range(100).coalesce(1)
+    assert DD.ensure_cpu_splits(small).rdd.getNumPartitions() == par
+    big = spark.range(100).repartition(par + 2)
+    assert DD.ensure_cpu_splits(big) is big
