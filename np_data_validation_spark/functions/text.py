@@ -127,6 +127,36 @@ def lang_id(col: Column | str = "text") -> Column:
     return expr.otherwise(F.lit("und"))
 
 
+def repetition_ratio(col: Column | str = "text", n: int = 3) -> Column:
+    """Fraction of word n-grams that repeat an earlier n-gram in the SAME
+    document — the within-doc repetition signal quality filters use to
+    drop degenerate or loop-generated text. Row-local expression (zero
+    shuffle); 0.0 for documents shorter than n words."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.regexp_extract_all(normalize_text(c), F.lit("[a-z0-9]+"), 0)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    ratio = (F.size(grams) - F.size(F.array_distinct(grams))) / F.size(grams)
+    return F.when(F.size(words) >= n, ratio.cast("double")).otherwise(F.lit(0.0))
+
+
+def hash_sample_predicate(
+    key_col: Column | str, rate_ppm: Column | int, salt: str = ""
+) -> Column:
+    """Deterministic sampling predicate: keep a row iff
+    ``hash(key || salt) % 1e6 < rate_ppm``. Unlike ``df.sample``, the
+    selection is a pure function of the key — re-runs, retries, different
+    partitionings, and different engines all pick the SAME rows, which is
+    what a reproducible data-mixing stage needs. Rotate ``salt`` to draw a
+    fresh sample at the same rate. ``rate_ppm`` may be a per-row Column
+    (per-source mixing rates)."""
+    k = F.col(key_col) if isinstance(key_col, str) else key_col
+    r = F.lit(rate_ppm) if isinstance(rate_ppm, int) else rate_ppm
+    return (portable_hash60(F.concat(k.cast("string"), F.lit(salt))) % 1000000) < r
+
+
 def doc_fingerprint(col: Column | str = "text") -> Column:
     """Content fingerprint of the normalized text (the reference's
     path-independent identity doctrine, /root/reference/data_validation.py:5,
@@ -193,3 +223,24 @@ def normalize_text_sql(expr: str) -> str:
 
 def doc_fingerprint_sql(expr: str) -> str:
     return portable_hash60_sql(normalize_text_sql(expr))
+
+
+def repetition_ratio_sql(expr: str, n: int = 3) -> str:
+    """DuckDB twin of repetition_ratio (generate_series(1, 0) is empty in
+    DuckDB, so the short-doc guard is the CASE alone)."""
+    words = f"regexp_extract_all({normalize_text_sql(expr)}, '[a-z0-9]+')"
+    grams = (
+        f"list_transform(generate_series(1, greatest(len({words}) - {n - 1}, 0)), "
+        f"i -> array_to_string(list_slice({words}, i, i + {n - 1}), ' '))"
+    )
+    return (
+        f"CASE WHEN len({words}) >= {n} THEN "
+        f"(len({grams}) - len(list_distinct({grams}))) * 1.0 / len({grams}) "
+        f"ELSE 0.0 END"
+    )
+
+
+def hash_sample_predicate_sql(key_expr: str, rate_ppm_expr: str, salt: str = "") -> str:
+    """DuckDB twin of hash_sample_predicate."""
+    h = portable_hash60_sql(f"(CAST({key_expr} AS VARCHAR) || '{salt}')")
+    return f"(({h}) % 1000000) < ({rate_ppm_expr})"

@@ -684,6 +684,49 @@ def tx_quality_scores(spark, sf_dir):
 
 
 @q(
+    "tx_repetition",
+    f"""SELECT doc_id, {I6.format(x=TX.repetition_ratio_sql('text'))} AS rep_i6
+        FROM documents""",
+)
+def tx_repetition(spark, sf_dir):
+    """Within-doc n-gram repetition ratio (the degenerate-text signal
+    quality filters threshold on). Row-local; value-checked at 1e-6
+    grain."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", _i6(TX.repetition_ratio("text")).alias("rep_i6")
+    )
+
+
+#: deterministic per-source sampling rates (parts-per-million) for the
+#: data-mixing query — src0 upsampled, src1 half, everything else light
+_MIX_RATES_SQL = (
+    "CASE source WHEN 'src0' THEN 500000 WHEN 'src1' THEN 250000 ELSE 125000 END"
+)
+
+
+@q(
+    "tx_hash_sample",
+    f"""SELECT doc_id, source FROM documents
+        WHERE {TX.hash_sample_predicate_sql('doc_id', _MIX_RATES_SQL, salt='|mix1')}""",
+)
+def tx_hash_sample(spark, sf_dir):
+    """Reproducible data-mixing sample: per-source rates applied through a
+    deterministic hash predicate, so the selected rows are a pure function
+    of (doc_id, salt) — identical across re-runs, partitionings, and
+    engines (the DuckDB oracle picks the exact same rows). A filter, not a
+    shuffle; at 100 TB this is a scan that emits the kept fraction."""
+    rates = (
+        F.when(F.col("source") == "src0", 500000)
+        .when(F.col("source") == "src1", 250000)
+        .otherwise(125000)
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(TX.hash_sample_predicate("doc_id", rates, salt="|mix1")).select(
+        "doc_id", "source"
+    )
+
+
+@q(
     "tx_langid_confusion",
     f"""SELECT lang, {TX.lang_id_sql('text')} AS predicted, count(*) AS n
         FROM documents GROUP BY lang, predicted""",

@@ -169,3 +169,29 @@ def test_ensure_cpu_splits_guard(spark):
     assert DD.ensure_cpu_splits(small).rdd.getNumPartitions() == par
     big = spark.range(100).repartition(par + 2)
     assert DD.ensure_cpu_splits(big) is big
+
+
+def test_repetition_ratio_planted(spark):
+    """4 of 7 trigrams in the looping doc repeat an earlier one; clean,
+    short, and null docs all read 0.0."""
+    df = spark.createDataFrame(
+        [("a b c a b c a b c",), ("one two three four",), ("x y",), (None,)],
+        "text string",
+    )
+    got = [r[0] for r in df.select(TX.repetition_ratio("text", 3).alias("r")).collect()]
+    assert got[0] == pytest.approx(4 / 7)
+    assert got[1:] == [0.0, 0.0, 0.0]
+
+
+def test_hash_sample_predicate_rate_and_determinism(spark):
+    df = spark.range(20000).withColumnRenamed("id", "doc_id")
+    kept = df.filter(TX.hash_sample_predicate("doc_id", 250000)).count()
+    assert abs(kept / 20000 - 0.25) < 0.02  # hits the requested rate
+    pick = lambda salt: sorted(
+        r[0] for r in df.filter(
+            TX.hash_sample_predicate("doc_id", 250000, salt=salt)
+        ).limit(20000).collect()
+    )
+    a, b, c = pick("s1"), pick("s1"), pick("s2")
+    assert a == b          # pure function of (key, salt): re-runs agree
+    assert a != c          # rotating the salt draws a different sample
