@@ -100,6 +100,18 @@ except (AttributeError, ValueError, OSError):  # non-POSIX / odd sysconf
 #: level-round in the committed 96M gate state mid-run.
 STEAL_BUDGET_FRAC = float(os.environ.get("NPDV_STEAL_BUDGET_FRAC", "0.05"))
 
+#: absolute floor on the per-rep steal budget, in ms. /proc/stat steal has
+#: jiffy (10 ms at USER_HZ=100) resolution summed host-wide, so for a
+#: sub-second query rep the fractional budget (5% of 0.3 s = 15 ms) is
+#: 1-2 ticks and a single background tick disqualifies a perfectly clean
+#: rep — the per-query bench stat would then chronically read
+#: no_qualified_rep on a mildly noisy host. 50 ms = 5 ticks tolerates
+#: tick-granularity noise while still catching real waves (which measure
+#: in seconds). The floor is far below every long-job fractional budget
+#: (5% of the 96M gate's shortest rep is ~8,000 ms), so gate
+#: qualification semantics — and the banked gate state — are unchanged.
+STEAL_BUDGET_FLOOR_MS = float(os.environ.get("NPDV_STEAL_BUDGET_FLOOR_MS", "50"))
+
 #: memory-bandwidth canary shape: `CANARY_PASSES` streaming sums over a
 #: `CANARY_MB`-MiB float64 array. 0 disables the canary.
 CANARY_MB = int(os.environ.get("NPDV_CANARY_MB", "256"))
@@ -154,14 +166,16 @@ def _steal_ms() -> int | None:
 
 def steal_qualified(rep: dict, budget_frac: float | None = None) -> bool:
     """True iff the rep's measured host steal is within the budget
-    (``steal_ms <= budget_frac * wall``). A rep with no steal telemetry
-    (no /proc/stat) is treated as qualified — the budget can only be
-    enforced where it can be measured."""
+    (``steal_ms <= max(budget_frac * wall, STEAL_BUDGET_FLOOR_MS)``; the
+    floor only matters for sub-second reps, where the fractional budget
+    falls below /proc/stat's jiffy resolution). A rep with no steal
+    telemetry (no /proc/stat) is treated as qualified — the budget can
+    only be enforced where it can be measured."""
     frac = STEAL_BUDGET_FRAC if budget_frac is None else budget_frac
     s = rep.get("steal_ms")
     if s is None:
         return True
-    return s <= frac * rep["sec"] * 1000.0
+    return s <= max(frac * rep["sec"] * 1000.0, STEAL_BUDGET_FLOOR_MS)
 
 
 def _dir_mb(path: str) -> int:

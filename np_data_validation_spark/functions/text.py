@@ -127,19 +127,35 @@ def lang_id(col: Column | str = "text") -> Column:
     return expr.otherwise(F.lit("und"))
 
 
-def repetition_ratio(col: Column | str = "text", n: int = 3) -> Column:
-    """Fraction of word n-grams that repeat an earlier n-gram in the SAME
-    document — the within-doc repetition signal quality filters use to
-    drop degenerate or loop-generated text. Row-local expression (zero
-    shuffle); 0.0 for documents shorter than n words."""
+def word_ngrams(col: Column | str = "text", n: int = 3) -> Column:
+    """Word n-grams of the normalized text as space-joined strings, in
+    document order, repeats kept. Words are the same ``[a-z0-9]+`` tokens
+    every text operator shares; this is the ONE authoritative copy of the
+    construction (repetition_ratio and the dedup contamination family
+    build on it, so a change to the token pattern or the short-doc guard
+    cannot desynchronize them). Spark's ``sequence(1, k)`` counts DOWN
+    for k < 1, so documents shorter than n words map to an empty array
+    explicitly. Built with slice+concat_ws deliberately: per-element
+    ``element_at`` measures ~3.5x slower under ANSI bounds machinery."""
     c = F.col(col) if isinstance(col, str) else col
     words = F.regexp_extract_all(normalize_text(c), F.lit("[a-z0-9]+"), 0)
     grams = F.transform(
         F.sequence(F.lit(1), F.size(words) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(words, i, n)),
     )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_ratio(col: Column | str = "text", n: int = 3) -> Column:
+    """Fraction of word n-grams that repeat an earlier n-gram in the SAME
+    document — the within-doc repetition signal quality filters use to
+    drop degenerate or loop-generated text. Row-local expression (zero
+    shuffle); 0.0 for documents shorter than n words."""
+    grams = word_ngrams(col, n)
     ratio = (F.size(grams) - F.size(F.array_distinct(grams))) / F.size(grams)
-    return F.when(F.size(words) >= n, ratio.cast("double")).otherwise(F.lit(0.0))
+    return F.when(F.size(grams) > 0, ratio.cast("double")).otherwise(F.lit(0.0))
 
 
 def hash_sample_predicate(
@@ -225,22 +241,31 @@ def doc_fingerprint_sql(expr: str) -> str:
     return portable_hash60_sql(normalize_text_sql(expr))
 
 
-def repetition_ratio_sql(expr: str, n: int = 3) -> str:
-    """DuckDB twin of repetition_ratio (generate_series(1, 0) is empty in
-    DuckDB, so the short-doc guard is the CASE alone)."""
+def word_ngrams_sql(expr: str, n: int = 3) -> str:
+    """DuckDB twin of word_ngrams (generate_series(1, 0) is already empty
+    in DuckDB, so the short-doc guard is the greatest(..., 0) bound)."""
     words = f"regexp_extract_all({normalize_text_sql(expr)}, '[a-z0-9]+')"
-    grams = (
+    return (
         f"list_transform(generate_series(1, greatest(len({words}) - {n - 1}, 0)), "
         f"i -> array_to_string(list_slice({words}, i, i + {n - 1}), ' '))"
     )
+
+
+def repetition_ratio_sql(expr: str, n: int = 3) -> str:
+    """DuckDB twin of repetition_ratio."""
+    grams = word_ngrams_sql(expr, n)
     return (
-        f"CASE WHEN len({words}) >= {n} THEN "
+        f"CASE WHEN len({grams}) > 0 THEN "
         f"(len({grams}) - len(list_distinct({grams}))) * 1.0 / len({grams}) "
         f"ELSE 0.0 END"
     )
 
 
 def hash_sample_predicate_sql(key_expr: str, rate_ppm_expr: str, salt: str = "") -> str:
-    """DuckDB twin of hash_sample_predicate."""
-    h = portable_hash60_sql(f"(CAST({key_expr} AS VARCHAR) || '{salt}')")
+    """DuckDB twin of hash_sample_predicate. The salt is interpolated into
+    a SQL string literal, so embedded quotes are doubled — the Spark side
+    takes any salt through F.lit, and the two twins must accept the same
+    inputs."""
+    lit = salt.replace("'", "''")
+    h = portable_hash60_sql(f"(CAST({key_expr} AS VARCHAR) || '{lit}')")
     return f"(({h}) % 1000000) < ({rate_ppm_expr})"

@@ -33,6 +33,8 @@ from np_data_validation_spark.functions.text import (
     normalize_text_sql,
     portable_hash60,
     portable_hash60_sql,
+    word_ngrams,
+    word_ngrams_sql,
 )
 
 SHINGLE_N = 5
@@ -224,18 +226,11 @@ CONTAM_NGRAM_N = 4
 
 def word_ngram_hashes(text_col: str = "text", n: int = CONTAM_NGRAM_N) -> Column:
     """Distinct portable hashes of word n-grams — a row-local expression
-    (zero shuffle). Words are the same normalized ``[a-z0-9]+`` tokens the
-    SimHash family uses; each n-gram is the space-joined window hashed with
-    the portable 60-bit hash so the DuckDB twin is bit-identical."""
-    words = F.regexp_extract_all(normalize_text(text_col), F.lit("[a-z0-9]+"), 0)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(words) - (n - 1)),
-        lambda i: portable_hash60(F.concat_ws(" ", F.slice(words, i, n))),
-    )
-    # sequence(1, k) counts DOWN when k < 1, so documents shorter than n
-    # words must map to an empty gram set explicitly
+    (zero shuffle), built on the shared ``functions.text.word_ngrams``
+    construction and the portable 60-bit hash so the DuckDB twin is
+    bit-identical."""
     return F.array_distinct(
-        F.when(F.size(words) >= n, grams).otherwise(F.array().cast("array<long>"))
+        F.transform(word_ngrams(text_col, n), lambda g: portable_hash60(g))
     )
 
 
@@ -388,16 +383,11 @@ def simhash_near_dups(
 
 
 def word_ngram_hashes_sql(expr: str, n: int = CONTAM_NGRAM_N) -> str:
-    """DuckDB-side twin of word_ngram_hashes. generate_series(1, 0) is
-    empty in DuckDB (unlike Spark's descending sequence), so the short-doc
-    guard is the greatest(..., 0) bound alone."""
-    t = normalize_text_sql(expr)
-    words = f"regexp_extract_all({t}, '[a-z0-9]+')"
-    gram = f"array_to_string(list_slice({words}, i, i + {n - 1}), ' ')"
+    """DuckDB-side twin of word_ngram_hashes, on the shared
+    ``word_ngrams_sql`` construction."""
     return (
-        f"list_distinct(list_transform("
-        f"generate_series(1, greatest(len({words}) - {n - 1}, 0)), "
-        f"i -> {portable_hash60_sql(gram)}))"
+        f"list_distinct(list_transform({word_ngrams_sql(expr, n)}, "
+        f"g -> {portable_hash60_sql('g')}))"
     )
 
 

@@ -833,7 +833,7 @@ def dd_jaccard_verified(spark, sf_dir):
          corpus AS (
            SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0
            UNION ALL
-           SELECT doc_id + 300000 AS doc_id, substr(text, 6) AS text FROM bench),
+           SELECT -(doc_id + 1) AS doc_id, substr(text, 6) AS text FROM bench),
          bsh AS (SELECT DISTINCT unnest({DD.word_ngram_hashes_sql('text')}) AS sh
                  FROM bench),
          csh AS (SELECT doc_id, {DD.word_ngram_hashes_sql('text')} AS shs
@@ -846,14 +846,16 @@ def dd_jaccard_verified(spark, sf_dir):
 def dd_contamination(spark, sf_dir):
     """Benchmark decontamination: documents with doc_id % 17 == 0 play the
     eval suite; the training corpus is everything else PLUS planted leaks
-    (eval docs re-inserted under doc_id+300000 with a 5-char prefix cut, so
-    partial leaks must still be caught). The eval shingle set is broadcast;
-    the corpus never shuffles (see operators/dedup.py:contamination_overlap
-    for the 100-TB shape)."""
+    (eval docs re-inserted under the mirrored id -(doc_id+1) — real ids
+    are non-negative, so the plant can never collide with a real corpus
+    doc at any scale — with a 5-char prefix cut, so partial leaks must
+    still be caught). The eval shingle set is broadcast; the corpus never
+    shuffles (see operators/dedup.py:contamination_overlap for the 100-TB
+    shape)."""
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 17 == 0)
     leaked = (
-        bench.withColumn("doc_id", F.col("doc_id") + 300000)
+        bench.withColumn("doc_id", -(F.col("doc_id") + 1))
         .withColumn("text", F.expr("substr(text, 6)"))
         .select("doc_id", "text")
     )

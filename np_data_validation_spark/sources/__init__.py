@@ -138,6 +138,14 @@ def glob_manifest(
     skipped instead of failing the task (live directories are the norm
     for a landing area).
 
+    The hidden-inclusive listing is a SNAPSHOT taken at call time: the
+    walk materializes eagerly (DataFrame.localCheckpoint) and every
+    downstream action — including stage recomputes after an executor
+    loss — replays the same rows, the way a table format's snapshot
+    isolation would behave. A lazy listing would re-walk the tree per
+    action and could feed DIFFERENT file sets to different parts of one
+    validation job on a live directory.
+
     The walk is a level-synchronous distributed BFS (ADVICE r5): each
     depth level is an RDD of directories; one distributed stage lists the
     next level (readdir only, no per-file stat), the new level
@@ -272,18 +280,22 @@ def glob_manifest(
         levels.append(nxt)
         level = nxt
     rdd = sc.union(levels).repartition(par).mapPartitions(stat_files)
+    listing = spark.createDataFrame(rdd, "name string, path string, size long")
     # Materialize the stat rows and truncate lineage BEFORE dropping the
     # level caches: without this the returned DataFrame's lineage pins one
     # persisted RDD per tree depth per glob_manifest call for the session
-    # lifetime (ADVICE r6 sources:264). localCheckpoint stores the listing
-    # on the executors, so the levels can be unpersisted immediately; a
-    # lost executor loses its checkpointed partitions and fails the job —
-    # acceptable for a listing, which is simply re-run.
-    rdd.localCheckpoint()  # marks in place (RDD API returns None)
-    rdd.count()
+    # lifetime (ADVICE r6 sources:264). This must be the DATAFRAME's
+    # localCheckpoint (eager), not the Python RDD's: PySpark pipelines
+    # every downstream rdd.map/mapPartitions onto the underlying JVM RDD
+    # (PipelinedRDD checks only the checkpoint()-set flags), so an
+    # RDD.localCheckpoint followed by createDataFrame is silently bypassed
+    # — nothing materializes and nothing truncates. The checkpointed
+    # listing lives on the executors; a lost executor loses its partitions
+    # and fails the job — acceptable for a listing, which is simply
+    # re-run.
+    listing = listing.localCheckpoint(eager=True)
     for lv in levels:
         lv.unpersist()
-    listing = spark.createDataFrame(rdd, "name string, path string, size long")
     return listing.filter(F.col("name").rlike(name_rlike))
 
 

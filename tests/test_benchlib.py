@@ -28,6 +28,20 @@ def test_steal_qualified_budget_boundary():
     assert benchlib.steal_qualified(_rep(100.0, None), 0.05)
 
 
+def test_steal_budget_floor_for_short_reps():
+    # /proc/stat steal has 10ms jiffy resolution summed host-wide; for a
+    # 0.3s query rep the 5% budget is 15ms = 1-2 ticks, so a single
+    # background tick would disqualify a clean rep. The absolute floor
+    # (50ms default) absorbs tick-granularity noise...
+    assert benchlib.steal_qualified(_rep(0.3, 20), 0.05)
+    assert benchlib.steal_qualified(_rep(0.3, 50), 0.05)
+    assert not benchlib.steal_qualified(_rep(0.3, 51), 0.05)
+    # ...and never engages for long reps, where the fractional budget
+    # dominates (gate semantics unchanged: 5% of 100s = 5000ms >> floor)
+    assert benchlib.steal_qualified(_rep(100.0, 5000), 0.05)
+    assert not benchlib.steal_qualified(_rep(100.0, 5001), 0.05)
+
+
 def test_warm_median_covers_only_qualified_warm_reps():
     reps = [
         _rep(12.0, 100),  # cold (JIT) — never in the statistic

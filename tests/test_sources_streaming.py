@@ -85,12 +85,15 @@ def test_glob_manifest_hidden_uri_and_scheme_guard(spark, tmp_path):
         sources.glob_manifest(spark, "s3://bucket/prefix", include_hidden=True)
 
 
-def test_glob_manifest_hidden_tolerates_deleted_file(spark, tmp_path):
-    """A file deleted between the driver-side top-level listing and the
-    executor-side walk yields no row and no task failure — live landing
-    directories are the norm (the walk's per-file stat is additionally
-    wrapped in try/except for the finer walk-vs-stat race, which happens
-    inside one executor and can't be interleaved from a test)."""
+def test_glob_manifest_hidden_is_call_time_snapshot(spark, tmp_path):
+    """The hidden-inclusive listing materializes AT CALL TIME (eager
+    localCheckpoint): files deleted after the call keep their stat rows,
+    and every downstream action replays the same snapshot — a lazy
+    listing would re-walk the live tree per action and could feed
+    different file sets to different parts of one job. (Files deleted
+    DURING the walk are skipped without failing the task; that race
+    happens inside one executor's stat loop and can't be interleaved
+    from a test — it is covered by the try/except in stat_files.)"""
     (tmp_path / "keep.parquet").write_bytes(b"1234")
     sub = tmp_path / "sub"
     sub.mkdir()
@@ -99,11 +102,12 @@ def test_glob_manifest_hidden_tolerates_deleted_file(spark, tmp_path):
     top_gone = tmp_path / "top_gone.parquet"
     top_gone.write_bytes(b"123")
     df = sources.glob_manifest(spark, str(tmp_path), include_hidden=True)
-    # the plan has captured the top-level listing; delete before execution
+    # the snapshot is already taken; deletions no longer change the result
     gone.unlink()
     top_gone.unlink()
     rows = {r["name"] for r in df.collect()}
-    assert rows == {"keep.parquet"}
+    assert rows == {"keep.parquet", "gone.parquet", "top_gone.parquet"}
+    assert {r["name"] for r in df.collect()} == rows  # stable across actions
 
 
 def test_glob_manifest_hidden_rejects_authority_and_relative_uri(spark, tmp_path):
@@ -182,8 +186,14 @@ def test_glob_manifest_hidden_walk_unpersists_level_caches(spark, tmp_path):
     """ADVICE r6 sources:264: the BFS persisted one level RDD per tree
     depth and left all but the final empty level pinned for the session
     lifetime (accumulating across glob_manifest calls). After the call
-    returns, at most ONE cached RDD per call may remain — the
-    localCheckpointed listing itself — not one per depth level."""
+    returns, at most ONE cached RDD per call may remain — the eagerly
+    localCheckpointed listing DataFrame — not one per depth level. The
+    checkpoint must actually have materialized: re-counting (and even
+    re-listing after the source tree is mutated) must replay the
+    checkpointed rows, not re-run the walk against the level caches that
+    are now gone (the round-7 RDD.localCheckpoint attempt was silently
+    bypassed by PipelinedRDD pipelining — createDataFrame composed onto
+    the pre-checkpoint JVM RDD and every action re-ran the walk)."""
     cur = tmp_path
     depth = 6
     for i in range(depth):
@@ -195,6 +205,11 @@ def test_glob_manifest_hidden_walk_unpersists_level_caches(spark, tmp_path):
     assert df.count() == depth
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert after - before <= 1
+    # deleting a listed file must NOT change the result: a truly
+    # materialized checkpoint replays its rows; an inert one re-walks the
+    # mutated tree and comes up one short
+    (tmp_path / "lvl0" / "f0.parquet").unlink()
+    assert df.count() == depth
 
 
 def test_streaming_query_matches_batch_rollup(spark, tmp_path):

@@ -195,3 +195,29 @@ def test_hash_sample_predicate_rate_and_determinism(spark):
     a, b, c = pick("s1"), pick("s1"), pick("s2")
     assert a == b          # pure function of (key, salt): re-runs agree
     assert a != c          # rotating the salt draws a different sample
+
+
+def test_hash_sample_sql_twin_escapes_salt(spark):
+    """The SQL twin interpolates the salt into a string literal; a salt
+    containing a quote must still produce the same rows as the Spark side
+    (unescaped it is a DuckDB syntax error)."""
+    import duckdb
+
+    salt = "o'brien"
+    pred = TX.hash_sample_predicate_sql("doc_id", "250000", salt=salt)
+    con = duckdb.connect()
+    kept_sql = {
+        r[0]
+        for r in con.execute(
+            "SELECT doc_id FROM (SELECT unnest(generate_series(0, 999)) AS doc_id) t"
+            f" WHERE {pred}"
+        ).fetchall()
+    }
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    kept_spark = {
+        r[0]
+        for r in df.filter(
+            TX.hash_sample_predicate("doc_id", 250000, salt=salt)
+        ).collect()
+    }
+    assert kept_sql == kept_spark and kept_sql
