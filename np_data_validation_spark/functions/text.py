@@ -173,6 +173,25 @@ def hash_sample_predicate(
     return (portable_hash60(F.concat(k.cast("string"), F.lit(salt))) % 1000000) < r
 
 
+#: PII patterns shared by both engines — kept to syntax valid AND
+#: equivalent in Java regex (Spark) and RE2 (DuckDB): no lookaround, no
+#: backreferences; \b is the ASCII word boundary in both.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def pii_email_count(col: Column | str = "text") -> Column:
+    """Non-overlapping email-shaped match count (case-folded first)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(F.lower(c), F.lit(PII_EMAIL_RE)).cast("long")
+
+
+def pii_phone_count(col: Column | str = "text") -> Column:
+    """Non-overlapping NANP-style phone-number match count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(PII_PHONE_RE)).cast("long")
+
+
 def doc_fingerprint(col: Column | str = "text") -> Column:
     """Content fingerprint of the normalized text (the reference's
     path-independent identity doctrine, /root/reference/data_validation.py:5,
@@ -259,6 +278,14 @@ def repetition_ratio_sql(expr: str, n: int = 3) -> str:
         f"(len({grams}) - len(list_distinct({grams}))) * 1.0 / len({grams}) "
         f"ELSE 0.0 END"
     )
+
+
+def pii_email_count_sql(expr: str) -> str:
+    return f"CAST(len(regexp_extract_all(lower({expr}), '{PII_EMAIL_RE}')) AS BIGINT)"
+
+
+def pii_phone_count_sql(expr: str) -> str:
+    return f"CAST(len(regexp_extract_all({expr}, '{PII_PHONE_RE}')) AS BIGINT)"
 
 
 def hash_sample_predicate_sql(key_expr: str, rate_ppm_expr: str, salt: str = "") -> str:

@@ -727,6 +727,47 @@ def tx_hash_sample(spark, sf_dir):
 
 
 @q(
+    "tx_pii_flags",
+    f"""WITH aug AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 23 = 0 THEN
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or call 555-123-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE text END AS text
+          FROM documents)
+        SELECT doc_id, {TX.pii_email_count_sql('text')} AS n_email,
+               {TX.pii_phone_count_sql('text')} AS n_phone
+        FROM aug WHERE {TX.pii_email_count_sql('text')} + {TX.pii_phone_count_sql('text')} > 0""",
+)
+def tx_pii_flags(spark, sf_dir):
+    """PII detection (email/phone counts) — the scrub-before-training
+    stage. The synthetic corpus contains no PII, so every 23rd document
+    gets a deterministic planted email+phone appended (same expression in
+    the DuckDB oracle); the query returns exactly the flagged docs with
+    their match counts. Row-local regexp_count — a scan-shaped filter at
+    100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 23 == 0, planted).otherwise(F.col("text")).alias("text"),
+    )
+    out = aug.select(
+        "doc_id",
+        TX.pii_email_count("text").alias("n_email"),
+        TX.pii_phone_count("text").alias("n_phone"),
+    )
+    return out.filter(F.col("n_email") + F.col("n_phone") > 0)
+
+
+@q(
     "tx_langid_confusion",
     f"""SELECT lang, {TX.lang_id_sql('text')} AS predicted, count(*) AS n
         FROM documents GROUP BY lang, predicted""",

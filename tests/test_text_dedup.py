@@ -221,3 +221,22 @@ def test_hash_sample_sql_twin_escapes_salt(spark):
         ).collect()
     }
     assert kept_sql == kept_spark and kept_sql
+
+
+def test_pii_counts_planted_variety(spark):
+    df = spark.createDataFrame(
+        [
+            ("mail A@B.co and c.d+x@e-f.org today",),       # 2 emails (case-folded)
+            ("call 555-123-4567 or 555.987.6543 now",),     # 2 phones, both separators
+            ("version 1.2.3.4 build 123-45-678",),          # neither pattern
+            (None,),
+        ],
+        "text string",
+    )
+    got = [
+        (r["e"], r["p"])
+        for r in df.select(
+            TX.pii_email_count("text").alias("e"), TX.pii_phone_count("text").alias("p")
+        ).collect()
+    ]
+    assert got == [(2, 0), (0, 2), (0, 0), (None, None)]
