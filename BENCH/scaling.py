@@ -142,6 +142,7 @@ best["all_canary_sec"] = [r["canary_sec"] for r in results]
 best["all_shm_mb"] = [r["shm_mb_after"] for r in results]
 best["all_qualified"] = [r["steal_qualified"] for r in results]
 best["steal_budget_frac"] = benchlib.STEAL_BUDGET_FRAC
+best["steal_budget_floor_ms"] = benchlib.STEAL_BUDGET_FLOOR_MS
 print("RESULT " + json.dumps(best))
 spark.stop()
 """
@@ -204,6 +205,8 @@ def load_gate_state(state_path: str, budget_frac: float | None = None) -> dict:
     a run that reports a stricter one (ADVICE r6 scaling:249). Tolerates
     a truncated trailing line (the writer may have been killed
     mid-append)."""
+    from np_data_validation_spark import benchlib
+
     completed: dict[tuple[int, int], dict] = {}
     if not os.path.exists(state_path):
         return completed
@@ -223,6 +226,17 @@ def load_gate_state(state_path: str, budget_frac: float | None = None) -> dict:
                 and abs(saved_frac - budget_frac) > 1e-12
             ):
                 continue  # qualified under a different budget — re-measure
+            # The absolute budget floor (NPDV_STEAL_BUDGET_FLOOR_MS) also
+            # changes qualification, so it is compared too. Entries written
+            # before the floor existed qualified under the pure fraction —
+            # strictly tighter than any floor for minutes-long gate reps —
+            # so a missing value is treated as the library default rather
+            # than re-measured.
+            saved_floor = res.get(
+                "steal_budget_floor_ms", benchlib.STEAL_BUDGET_FLOOR_MS
+            )
+            if abs(saved_floor - benchlib.STEAL_BUDGET_FLOOR_MS) > 1e-9:
+                continue  # qualified under a different floor — re-measure
             completed[(entry["level"], entry["round"])] = res
     return completed
 

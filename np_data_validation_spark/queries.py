@@ -159,14 +159,19 @@ def _pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _augmented_docs(docs: DataFrame) -> DataFrame:
     """documents + near-dup copies (%20: 5-char prefix cut) + exact copies
-    (%50) — deterministic in both engines."""
+    (%50) — deterministic in both engines. Planted ids live in disjoint
+    MIRRORED negative spaces (near: odd -(2*id+1), exact: even -(2*id+2))
+    rather than additive offsets: real doc_ids are non-negative, so the
+    plants can never collide with a real document at any scale factor
+    (an additive +100000 offset collided once the table reached 100000
+    rows)."""
     near = (
         docs.filter(F.col("doc_id") % 20 == 0)
-        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("doc_id", -(F.col("doc_id") * 2 + 1))
         .withColumn("text", F.expr("substr(text, 6)"))
     )
     exact = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 200000
+        "doc_id", -(F.col("doc_id") * 2 + 2)
     )
     return docs.unionByName(near).unionByName(exact)
 
@@ -174,10 +179,10 @@ def _augmented_docs(docs: DataFrame) -> DataFrame:
 AUG_DOCS_SQL = """
 SELECT * FROM documents
 UNION ALL
-SELECT doc_id + 100000 doc_id, substr(text, 6) AS "text", lang, source, n_chars
+SELECT -(doc_id * 2 + 1) doc_id, substr(text, 6) AS "text", lang, source, n_chars
 FROM documents WHERE doc_id % 20 = 0
 UNION ALL
-SELECT doc_id + 200000 doc_id, text, lang, source, n_chars
+SELECT -(doc_id * 2 + 2) doc_id, text, lang, source, n_chars
 FROM documents WHERE doc_id % 50 = 0
 """
 
@@ -932,7 +937,7 @@ def sim_cosine_topk(spark, sf_dir):
     f"""WITH aug AS (
           SELECT vec_id, embedding FROM embeddings
           UNION ALL
-          SELECT vec_id + 50000, embedding FROM embeddings WHERE vec_id % 40 = 0)
+          SELECT -(vec_id + 1), embedding FROM embeddings WHERE vec_id % 40 = 0)
         SELECT a.vec_id id_a, b.vec_id id_b
         FROM aug a JOIN aug b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -940,8 +945,11 @@ def sim_cosine_topk(spark, sf_dir):
 )
 def sim_near_dup_pairs(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # mirrored negative plant ids — collision-free at any scale (real
+    # vec_ids are non-negative; the old +50000 offset collided once the
+    # embeddings table reached 50000 rows)
     dup = emb.filter(F.col("vec_id") % 40 == 0).withColumn(
-        "vec_id", F.col("vec_id") + 50000
+        "vec_id", -(F.col("vec_id") + 1)
     )
     aug = emb.unionByName(dup)
     out = SIM.embedding_near_dups(

@@ -293,9 +293,16 @@ def glob_manifest(
     # listing lives on the executors; a lost executor loses its partitions
     # and fails the job — acceptable for a listing, which is simply
     # re-run.
-    listing = listing.localCheckpoint(eager=True)
-    for lv in levels:
-        lv.unpersist()
+    try:
+        listing = listing.localCheckpoint(eager=True)
+    finally:
+        # drop the level caches even when materialization fails (executor
+        # lost mid-checkpoint, a stat row failing conversion): otherwise
+        # every retry of the call leaks one pinned RDD per tree depth for
+        # the session lifetime — the exact accumulation this checkpoint
+        # exists to prevent (ADVICE r6 sources:264)
+        for lv in levels:
+            lv.unpersist()
     return listing.filter(F.col("name").rlike(name_rlike))
 
 

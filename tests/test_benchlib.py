@@ -167,6 +167,24 @@ def test_gate_state_drops_rounds_from_a_different_budget(tmp_path):
     assert set(scaling.load_gate_state(state)) == {(4, 0), (4, 1), (16, 0)}
 
 
+def test_gate_state_drops_rounds_from_a_different_budget_floor(tmp_path):
+    # The absolute budget floor (NPDV_STEAL_BUDGET_FLOOR_MS) also changes
+    # qualification, so a resume drops rounds banked under a different
+    # floor than the current run's. Entries with no recorded floor
+    # qualified under the pure fraction — strictly tighter than any floor
+    # for minutes-long gate reps — and are kept.
+    scaling = _scaling_module()
+    state = str(tmp_path / "state.jsonl")
+    base = {"sec": 100.0, "rows_per_sec": 1.0, "round_steal_qualified": True}
+    loose = dict(base, steal_budget_floor_ms=20000.0)
+    matching = dict(base, steal_budget_floor_ms=benchlib.STEAL_BUDGET_FLOOR_MS)
+    legacy = dict(base)  # predates the field
+    scaling.append_gate_state(state, 4, 0, loose)
+    scaling.append_gate_state(state, 4, 1, matching)
+    scaling.append_gate_state(state, 16, 0, legacy)
+    assert set(scaling.load_gate_state(state)) == {(4, 1), (16, 0)}
+
+
 def test_gate_state_tolerates_torn_final_line(tmp_path):
     # The writer can be killed mid-append; the truncated line must not
     # poison the resume of the completed rounds before it.
