@@ -240,3 +240,35 @@ def test_pii_counts_planted_variety(spark):
         ).collect()
     ]
     assert got == [(2, 0), (0, 2), (0, 0), (None, None)]
+
+
+def test_word_ngrams_cross_engine_tricky_strings(spark):
+    """The shared word-ngram construction must agree between engines on
+    inputs the clean synthetic corpus never exercises: collapsed
+    whitespace, case folding, punctuation-only, non-ASCII letters
+    (excluded from [a-z0-9] identically by Java regex and RE2), empty and
+    null text, and the exact-n boundary."""
+    import duckdb
+
+    rows = [
+        "Tabs\tand\nnewlines  COLLAPSE here",
+        "punct, only!!! ...",
+        "ünicode wörds split on marks",
+        "",
+        None,
+        "a b c",       # exactly n words -> one gram
+        "a b",         # under n -> empty
+    ]
+    df = spark.createDataFrame([(t,) for t in rows], "text string")
+    got = [r["g"] for r in df.select(TX.word_ngrams("text", 3).alias("g")).collect()]
+    con = duckdb.connect()
+    sql = TX.word_ngrams_sql("text", 3)
+    orows = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {sql} FROM (SELECT unnest($1::VARCHAR[]) AS text) t", [rows]
+        ).fetchall()
+    ]
+    norm = lambda v: list(v) if v is not None else []
+    assert [norm(g) for g in got] == [norm(o) for o in orows]
+    assert norm(got[5]) == ["a b c"] and norm(got[6]) == []
