@@ -378,8 +378,153 @@ def simhash_near_dups(
 
 
 # ---------------------------------------------------------------------------
+# near-dup transitive clustering (pairs -> keep-one groups)
+# ---------------------------------------------------------------------------
+
+#: round bound for the alternating-star connected-components loop. The
+#: algorithm converges in O(log^2 n) rounds in the worst case and ~log n in
+#: practice (near-dup graphs are unions of small dense blobs plus rare
+#: chains); 25 rounds covers any input that fits on a cluster. Hitting the
+#: bound raises rather than returning partially-merged clusters.
+CC_MAX_ROUNDS = 25
+
+
+def _cc_canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge set in canonical (u < v) form, self-loops dropped."""
+    u, v = F.col("u"), F.col("v")
+    return (
+        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _cc_large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: connect every neighbor v > u to m = min(N(u) + {u}).
+    groupBy-min + join back — never a collect_list, so a hub node (the
+    eventual cluster root) costs a skewed join key (AQE splits it), not a
+    single giant array on one task."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+    mins = mins.select("u", F.least(F.col("_mn"), F.col("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _cc_small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: for each node u, connect its smaller neighbors (and u
+    itself) to m = min of those neighbors."""
+    d = _cc_canonical(edges).select(
+        F.col("v").alias("u"), F.col("u").alias("v")
+    )  # u = larger endpoint, v = smaller
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    rewired = d.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    self_edges = mins.select(F.col("u"), F.col("m").alias("v"))
+    return rewired.unionByName(self_edges)
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int = CC_MAX_ROUNDS,
+) -> DataFrame:
+    """Connected components over an undirected pair list via alternating
+    large-star / small-star rewrites (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — the distributed
+    closure of the reference's keep-one-representative reduction
+    (/root/reference/data_validation.py:1274-1284) from exact-equality
+    groups to transitive near-dup relations.
+
+    Returns (id, cluster_rep) for every node that appears in ``pairs``,
+    where cluster_rep is the MINIMUM id reachable through any chain of
+    pairs. Scale shape: no driver-side graph — each round is two
+    shuffles (a groupBy-min and a join back on the same key); each round
+    is eagerly localCheckpoint-ed so lineage stays O(1) instead of
+    O(rounds); convergence is decided from a 2-value checksum (count +
+    xxhash bit_xor), the only thing that ever reaches the driver."""
+    edges = _cc_canonical(
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    )
+    nodes = (
+        edges.select("u").unionByName(edges.select(F.col("v").alias("u"))).distinct()
+    )
+    prev_sig = None
+    for _ in range(max_rounds):
+        # eager localCheckpoint: materializes the round AND truncates
+        # lineage, so round k+1's plan never re-derives rounds 1..k; the
+        # checkpoint blocks of finished rounds are reclaimed by the
+        # ContextCleaner once unreferenced. (On a cluster with dynamic
+        # allocation / executor churn, swap for a reliable checkpoint dir
+        # — localCheckpoint blocks die with their executor.)
+        edges = _cc_canonical(
+            _cc_small_star(_cc_large_star(edges))
+        ).localCheckpoint(eager=True)
+        # bit_xor is order-independent and overflow-free (ANSI mode makes
+        # sum(xxhash64) raise on long overflow); the edge set is distinct,
+        # so xor cancellation of repeated rows cannot occur
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    # at convergence the canonical (u < v) edge set is a star per
+    # component with the minimum node at the center: u = root, v = member.
+    labels = nodes.join(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("_rep")), "u", "left"
+    ).select(F.col("u").alias("id"), F.coalesce("_rep", "u").alias("cluster_rep"))
+    return labels
+
+
+def cluster_keep_one(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """Keep-one policy over transitive near-dup clusters: every node in
+    ``pairs`` labeled with its cluster representative (minimum reachable
+    id) and ``keep = 1`` iff it IS the representative. The downstream
+    dedup stage drops every keep = 0 doc."""
+    labels = connected_components(pairs, src, dst)
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        "cluster_rep",
+        (F.col("id") == F.col("cluster_rep")).cast("long").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # DuckDB twin SQL builders (for __spark_entry__ oracles)
 # ---------------------------------------------------------------------------
+
+
+def cluster_keep_one_sql(pairs_cte_body: str) -> str:
+    """DuckDB twin of cluster_keep_one: a recursive CTE propagating every
+    reachable label to every node, then min per node — transitive closure
+    semantics identical to the alternating-star fixpoint. ``pairs_cte_body``
+    is a SELECT yielding (doc_a, doc_b)."""
+    return f"""WITH RECURSIVE pr AS ({pairs_cte_body}),
+        edges AS (SELECT doc_a AS u, doc_b AS v FROM pr WHERE doc_a <> doc_b
+                  UNION SELECT doc_b, doc_a FROM pr WHERE doc_a <> doc_b),
+        reach(id, lab) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.id),
+        lab AS (SELECT id AS doc_id, min(lab) AS cluster_rep
+                FROM reach GROUP BY id)
+        SELECT doc_id, cluster_rep,
+               CAST(doc_id = cluster_rep AS BIGINT) AS keep
+        FROM lab"""
 
 
 def word_ngram_hashes_sql(expr: str, n: int = CONTAM_NGRAM_N) -> str:

@@ -272,3 +272,87 @@ def test_word_ngrams_cross_engine_tricky_strings(spark):
     norm = lambda v: list(v) if v is not None else []
     assert [norm(g) for g in got] == [norm(o) for o in orows]
     assert norm(got[5]) == ["a b c"] and norm(got[6]) == []
+
+
+# --- transitive near-dup clustering (VERDICT r7 task #2) --------------------
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 16-hop chain (forces multiple alternating-star rounds) plus a
+    separate 2-node island must resolve to exactly two clusters, each
+    labeled with its minimum id."""
+    chain = [(i, i + 1) for i in range(100, 116)]
+    pairs = spark.createDataFrame(
+        chain + [(5, 7)], "doc_a long, doc_b long"
+    )
+    out = {
+        r["doc_id"]: (r["cluster_rep"], r["keep"])
+        for r in DD.cluster_keep_one(pairs).collect()
+    }
+    assert set(out) == set(range(100, 117)) | {5, 7}
+    for i in range(100, 117):
+        assert out[i] == (100, 1 if i == 100 else 0)
+    assert out[5] == (5, 1) and out[7] == (5, 0)
+    # exactly one keep per cluster
+    assert sum(k for _, k in out.values()) == 2
+
+
+def test_connected_components_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert DD.cluster_keep_one(pairs).count() == 0
+
+
+def test_cluster_keep_one_transitive_3hop_docs(spark):
+    """The 3-hop document chain A~B~C: B bridges two disjoint-alphabet
+    texts, so Jaccard(A,B) and Jaccard(B,C) pass the threshold while A
+    and C share NO shingles (their alphabets are disjoint, so no 5-gram
+    can match). Only transitive closure puts all three in one cluster —
+    a pairwise-only dedup provably cannot."""
+    text_a = "abcde fghij klmab cdefg hijkl mabcd efghi jklma"
+    text_c = "nopqr stuvw xyzno pqrst uvwxy znopq rstuv wxyzn"
+    rows = [(1, text_a), (2, text_a + " " + text_c), (3, text_c), (4, "qqqq1 qqqq2")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in docs.select("doc_id", DD.shingle_expr("text").alias("sh")).collect()
+    }
+    assert not (sh[1] & sh[3]), "A and C must share no shingles"
+    cand = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "doc_a long, doc_b long"
+    )
+    verified = DD.jaccard_pairs(docs, cand, threshold=0.4)
+    got_pairs = {(r["doc_a"], r["doc_b"]) for r in verified.collect()}
+    assert got_pairs == {(1, 2), (2, 3)}  # the direct A~C pair fails (J=0)
+    out = {
+        r["doc_id"]: (r["cluster_rep"], r["keep"])
+        for r in DD.cluster_keep_one(verified).collect()
+    }
+    assert out == {1: (1, 1), 2: (1, 0), 3: (1, 0)}
+
+
+def test_cluster_keep_one_matches_duckdb_recursive_cte(spark):
+    """Cross-engine parity on an irregular pair set: the alternating-star
+    fixpoint must agree with DuckDB's recursive-CTE transitive closure."""
+    import duckdb
+
+    pairs = [(1, 9), (9, 4), (4, 12), (20, 21), (21, 20), (30, 31), (31, 32), (7, 7)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = sorted(
+        (r["doc_id"], r["cluster_rep"], r["keep"])
+        for r in DD.cluster_keep_one(df).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (doc_a BIGINT, doc_b BIGINT)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", pairs)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            DD.cluster_keep_one_sql("SELECT doc_a, doc_b FROM p")
+        ).fetchall()
+    )
+    # shared contract: both sides emit every node that appears in a
+    # NON-self pair (the self-loop-only node 7 is emitted by neither;
+    # production pair generators emit doc_a < doc_b, so self-pairs are
+    # an input anomaly, not a cluster)
+    assert all(n != 7 for n, _, _ in got)
+    assert got == [(a, b, int(k)) for a, b, k in want]

@@ -24,8 +24,10 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 #: so the by-design gaps can't silently widen (VERDICT r3 #7).
 NO_ORACLE_TWINS = {
     "udf_xxhash_tokens": "udf_xxhash_golden",   # value-level vs pinned spec goldens
-    "ann_lsh_topk": "ann_lsh_topk_portable",    # bit-identical portable DuckDB twin
-    "hll_distinct_sketch": "hll_distinct_check",  # estimate within 2% of exact
+    # r8: ann_lsh_topk and hll_distinct_sketch were UNREGISTERED from the
+    # driver contract (the driver sweeps at most 50 entries and those two
+    # rows-only paths are redundant with their value-checked twins
+    # ann_lsh_topk_portable / hll_distinct_check); pytest still covers both.
 }
 
 
