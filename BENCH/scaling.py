@@ -118,6 +118,11 @@ for i in range(reps):
     r["steal_ms"] = (s1 - s0) if (s0 is not None and s1 is not None) else None
     r["shm_mb_after"] = dir_mb(shuffle_dir)
     r["steal_qualified"] = benchlib.steal_qualified(r)
+    # second qualification budget (VERDICT r7 task #3): the pre-rep
+    # bandwidth canary must be within 1.15x the calm baseline — steal
+    # telemetry cannot see co-tenant memory-bandwidth pressure
+    r["canary_qualified"] = benchlib.canary_qualified(r)
+    r["qualified"] = r["steal_qualified"] and r["canary_qualified"]
     results.append(r)
     spark.catalog.clearCache()  # plan-matched cache reuse would fake repeat runs
     # Inter-run hygiene: shuffle files on tmpfs are only reclaimed when the
@@ -132,17 +137,23 @@ for i in range(reps):
 # pinned to and measures the host, not the engine (VERDICT r5 task #1).
 # If no rep qualified, fall back to the plain best, flagged — main()
 # treats a non-qualified round as disqualified and re-runs it.
-qualified = [r for r in results if r["steal_qualified"]]
+qualified = [r for r in results if r["qualified"]]
 best = max(qualified or results, key=lambda r: r["rows_per_sec"])
+# name kept for state-file continuity; since r8 it means BOTH budgets
+# (steal AND bandwidth canary) were met by >=1 rep
 best["round_steal_qualified"] = bool(qualified)
 best["all_sec"] = [round(r["sec"], 2) for r in results]
 best["all_gc_ms"] = [r["gc_ms"] for r in results]
 best["all_steal_ms"] = [r["steal_ms"] for r in results]
 best["all_canary_sec"] = [r["canary_sec"] for r in results]
 best["all_shm_mb"] = [r["shm_mb_after"] for r in results]
-best["all_qualified"] = [r["steal_qualified"] for r in results]
+best["all_qualified"] = [r["qualified"] for r in results]
+best["all_steal_qualified"] = [r["steal_qualified"] for r in results]
+best["all_canary_qualified"] = [r["canary_qualified"] for r in results]
 best["steal_budget_frac"] = benchlib.STEAL_BUDGET_FRAC
 best["steal_budget_floor_ms"] = benchlib.STEAL_BUDGET_FLOOR_MS
+best["canary_budget_sec"] = round(benchlib.canary_budget_sec(), 3)
+benchlib.release_canary()
 print("RESULT " + json.dumps(best))
 spark.stop()
 """
@@ -237,6 +248,20 @@ def load_gate_state(state_path: str, budget_frac: float | None = None) -> dict:
             )
             if abs(saved_floor - benchlib.STEAL_BUDGET_FLOOR_MS) > 1e-9:
                 continue  # qualified under a different floor — re-measure
+            # Since r8 rounds also qualify against the bandwidth-canary
+            # budget (VERDICT r7 task #3). An entry saved WITHOUT one was
+            # qualified under steal alone — strictly weaker — so it is
+            # re-measured (this is also how pre-canary 4-core rounds get
+            # their canary coverage backfilled), as is an entry qualified
+            # under a different canary budget.
+            saved_canary_budget = res.get("canary_budget_sec")
+            # the worker records the budget rounded to 3 decimals —
+            # compare against the same rounding
+            if saved_canary_budget is None or (
+                abs(saved_canary_budget - round(benchlib.canary_budget_sec(), 3))
+                > 1e-9
+            ):
+                continue
             completed[(entry["level"], entry["round"])] = res
     return completed
 
@@ -362,8 +387,10 @@ def main() -> None:
                 f"  * {tag} round {i + 1} (attempt {r.get('attempts', 1)}): "
                 f"sec {r['all_sec']}, gc_ms {r['all_gc_ms']}, "
                 f"host-steal ms {r.get('all_steal_ms')}, "
-                f"steal-qualified {r.get('all_qualified')}, "
+                f"steal-qualified {r.get('all_steal_qualified', r.get('all_qualified'))}, "
                 f"bandwidth-canary sec {r.get('all_canary_sec')}, "
+                f"canary-qualified {r.get('all_canary_qualified')}, "
+                f"both-qualified {r.get('all_qualified')}, "
                 f"shuffle-tmpfs MB after each rep {r['all_shm_mb']}"
             )
         return "\n".join(lines)
@@ -393,12 +420,15 @@ with NO qualifying rep is discarded and re-run (bounded retries). This run:
 all rounds steal-qualified = {all_rounds_qualified}. Per-rep steal_ms and
 qualification flags are listed under "All measured runs" below.
 
-**Bandwidth canary**: each rep is preceded by a fixed single-core
-memory-bound microbenchmark ({benchlib.CANARY_PASSES} streaming sums over a
-{benchlib.CANARY_MB} MiB array; `canary_sec` per rep below). Steal telemetry
-cannot see co-tenant memory-bandwidth pollution, so an inflated canary next
-to a low steal_ms attributes a qualified-but-slow rep to bandwidth, not the
-engine.
+**Bandwidth canary (second qualification budget since r8)**: each rep is
+preceded by a fixed single-core memory-bound microbenchmark
+({benchlib.CANARY_PASSES} streaming sums over a {benchlib.CANARY_MB} MiB
+array; `canary_sec` per rep below). Steal telemetry cannot see co-tenant
+memory-bandwidth pollution, so a rep qualifies only if its canary is within
+{benchlib.CANARY_BUDGET_RATIO}x the calm baseline
+({benchlib.CANARY_CALM_SEC:.2f} s on this host ->
+budget {benchlib.canary_budget_sec():.3f} s); per-rep steal and canary
+qualification flags are listed separately below.
 
 Median-round phase breakdown (sec): local[{args.n}] {lo.get('phases')},
 local[{args.xn}] {hi.get('phases')}

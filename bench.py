@@ -49,6 +49,46 @@ def main() -> None:
     # warm the JVM/codegen once with a trivial action
     spark.range(1000).count()
 
+    # Plan-snapshot gate (VERDICT r7 task #5): verify every headline
+    # query's physical-plan shape against the committed bench-config
+    # snapshot BEFORE timing — a bench number recorded against a silently
+    # changed plan is the failure mode the pytest snapshot suite closed
+    # for correctness and this closes for performance. On drift the run
+    # REFUSES (exit 2) unless NPDV_BENCH_ALLOW_PLAN_DRIFT=1, in which case
+    # the emitted JSON carries the loud label instead.
+    snap_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "plan_snapshots_bench.json"
+    )
+    plan_check = benchlib.check_plan_snapshots(
+        spark,
+        sf_dir,
+        {n: qs[n] for n in HEADLINE},
+        snap_path,
+        update=bool(os.environ.get("NPDV_UPDATE_BENCH_PLAN_SNAPSHOTS")),
+    )
+    if os.environ.get("NPDV_UPDATE_BENCH_PLAN_SNAPSHOTS"):
+        print(json.dumps({"metric": "bench_plan_snapshots_updated", "path": snap_path}))
+        spark.stop()
+        return
+    if plan_check["status"] == "plan_drift" and not os.environ.get(
+        "NPDV_BENCH_ALLOW_PLAN_DRIFT"
+    ):
+        print(
+            json.dumps(
+                {
+                    "metric": "refused_plan_drift",
+                    "value": None,
+                    "unit": "sec",
+                    "plan_check": plan_check,
+                    "hint": "deliberate plan change? regenerate with "
+                    "NPDV_UPDATE_BENCH_PLAN_SNAPSHOTS=1 python bench.py; "
+                    "or label-and-run with NPDV_BENCH_ALLOW_PLAN_DRIFT=1",
+                }
+            )
+        )
+        spark.stop()
+        sys.exit(2)
+
     # Per-operator timings are steal-qualified like the headline job
     # (VERDICT r6 task #3): each query runs `query_reps` times (rep 0 is
     # that query's codegen-cold rep and never enters the statistic) with a
@@ -57,7 +97,10 @@ def main() -> None:
     # rides along in `query_stats` so a round-over-round comparison is
     # self-attributing (r6's +30-60% single-shot noise is the motivating
     # counterexample).
-    query_reps = int(os.environ.get("NPDV_BENCH_QUERY_REPS", "3"))
+    # clamp to >= 2: with a single rep the statistic would be exactly the
+    # codegen-cold rep 0, contradicting the warm-median doctrine (ADVICE
+    # r7 bench.py:59; warm_median also labels any 1-rep series cold_only_*)
+    query_reps = max(2, int(os.environ.get("NPDV_BENCH_QUERY_REPS", "3")))
     query_stats: dict[str, dict] = {}
     for name in HEADLINE:
         fn = qs[name]
@@ -101,7 +144,14 @@ def main() -> None:
         os.environ.setdefault("NPDV_BENCH_WORKDIR", "/dev/shm")
     data_root = benchlib.ensure_bench_data()
     reps = int(os.environ.get("NPDV_BENCH_REPS", "4"))
-    job = benchlib.warm_median(benchlib.run_validation_reps(spark, data_root, reps=reps))
+    # retry-until-qualified (VERDICT r7 task #4): if no warm rep met both
+    # qualification budgets (host steal + bandwidth canary), extend the
+    # series — bounded — rather than reporting a polluted headline
+    steal_retries = int(os.environ.get("NPDV_BENCH_STEAL_RETRIES", "2"))
+    validate_reps, validate_retries = benchlib.run_validation_reps_until_qualified(
+        spark, data_root, reps=reps, retries=steal_retries
+    )
+    job = benchlib.warm_median(validate_reps)
     timings["validate_full_pass"] = round(job["sec"], 3)
 
     # Scale-growth evidence (VERDICT r2 #8): the SAME full pass at 6x the
@@ -138,7 +188,10 @@ def main() -> None:
         # (VERDICT r5 task #3)
         "validate_stat": job["stat"],
         "validate_qualified_reps": job["qualified_reps"],
+        "validate_steal_retries_used": validate_retries,
         "validate_steal_budget_frac": job["steal_budget_frac"],
+        "validate_canary_budget_sec": job["canary_budget_sec"],
+        "plan_check": plan_check,
         "validate_all_gc_ms": job["all_gc_ms"],
         "validate_all_steal_ms": job["all_steal_ms"],
         # bandwidth canary (VERDICT r6 task #2): ~0.6 s calm on this host;

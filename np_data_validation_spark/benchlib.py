@@ -118,6 +118,43 @@ CANARY_MB = int(os.environ.get("NPDV_CANARY_MB", "256"))
 CANARY_PASSES = int(os.environ.get("NPDV_CANARY_PASSES", "16"))
 _CANARY_ARR = None
 
+#: calm-host baseline for the canary, seconds. Calibrated from the
+#: committed calm measurements on THIS host (~0.583-0.605 s across the r7
+#: bench and gate runs, ~0.59 s typical); on a different host, re-measure
+#: a quiet window and set NPDV_CANARY_CALM_SEC.
+CANARY_CALM_SEC = float(os.environ.get("NPDV_CANARY_CALM_SEC", "0.59"))
+
+#: bandwidth qualification budget as a multiple of the calm baseline
+#: (VERDICT r7 task #3, promoting the canary from attribution to a second
+#: qualification budget): the r7 level-8 out-of-sample residual (+8% vs
+#: the fixed-cost model) matched a canary degradation of ~10%, so a rep
+#: whose pre-rep canary exceeds 1.15x calm ran under measurable co-tenant
+#: memory-bandwidth pressure that steal telemetry cannot see, and does
+#: not qualify for the reported statistic.
+CANARY_BUDGET_RATIO = float(os.environ.get("NPDV_CANARY_BUDGET_RATIO", "1.15"))
+
+
+def canary_budget_sec() -> float:
+    return CANARY_BUDGET_RATIO * CANARY_CALM_SEC
+
+
+def canary_qualified(rep: dict) -> bool:
+    """True iff the rep's pre-rep bandwidth canary is within budget
+    (``canary_sec <= CANARY_BUDGET_RATIO * CANARY_CALM_SEC``). A rep with
+    no canary telemetry (canary disabled, numpy missing, or a pre-canary
+    saved result) is treated as qualified — same can-only-enforce-what-
+    was-measured doctrine as steal_qualified."""
+    c = rep.get("canary_sec")
+    if c is None:
+        return True
+    return c <= canary_budget_sec()
+
+
+def rep_qualified(rep: dict, budget_frac: float | None = None) -> bool:
+    """Both qualification budgets: host-steal within the fractional/floor
+    budget AND memory-bandwidth canary within 1.15x calm."""
+    return steal_qualified(rep, budget_frac) and canary_qualified(rep)
+
 
 def memory_canary_sec(mb: int | None = None, passes: int | None = None) -> float | None:
     """Fixed single-core memory-BOUND microbenchmark (~0.3-0.5 s calm):
@@ -145,11 +182,23 @@ def memory_canary_sec(mb: int | None = None, passes: int | None = None) -> float
         return None
     n = mb * 1024 * 1024 // 8
     if _CANARY_ARR is None or _CANARY_ARR.size != n:
+        _CANARY_ARR = None  # free the old array BEFORE allocating a new
+        # size (ADVICE r7 benchlib.py:126 — don't hold both)
         _CANARY_ARR = np.arange(n, dtype=np.float64)
     t0 = time.perf_counter()
     for _ in range(passes):
         _CANARY_ARR.sum()
     return time.perf_counter() - t0
+
+
+def release_canary() -> None:
+    """Free the pinned canary array. Call after a rep series: the canary
+    caches its 256 MiB working set between reps (reallocating per rep
+    would measure the allocator), but holding it for the remaining
+    process lifetime inflates driver RSS long after the series ends
+    (ADVICE r7 benchlib.py:126)."""
+    global _CANARY_ARR
+    _CANARY_ARR = None
 
 
 def _steal_ms() -> int | None:
@@ -257,7 +306,91 @@ def run_validation_reps(
             r["tmpfs_mb_after"] = 0
         r["shuffle_mb_after"] = sum(_dir_mb(d) for d in shuffle_dirs)
         results.append(r)
+    release_canary()
     return results
+
+
+def check_plan_snapshots(
+    spark: SparkSession,
+    sf_dir: str,
+    queries_by_name: dict,
+    snap_path: str,
+    update: bool = False,
+    signature_fn=None,
+) -> dict:
+    """Verify the physical-plan shape of each query against a committed
+    snapshot BEFORE timing it (VERDICT r7 task #5): a bench number must
+    never be recorded against a silently changed plan. Snapshots are
+    config-scoped — plan shapes legitimately depend on parallelism,
+    shuffle partitions and the input's split count — so a run under a
+    different config reports ``config_mismatch`` (the number is labeled,
+    not refused) instead of false drift.
+
+    Returns {"status": ok | plan_drift | config_mismatch | updated,
+    "mismatched": [names...], ...}. Regenerate deliberately with
+    NPDV_UPDATE_BENCH_PLAN_SNAPSHOTS=1 (bench.py exits after writing)."""
+    if signature_fn is None:
+        from np_data_validation_spark.plans.signature import plan_signature
+
+        signature_fn = plan_signature
+    cfg = {
+        "sf_dir": sf_dir,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+    }
+    sigs = {
+        name: signature_fn(fn(spark, sf_dir))
+        for name, fn in queries_by_name.items()
+    }
+    if update or not os.path.exists(snap_path):
+        with open(snap_path, "w") as f:
+            json.dump({"config": cfg, "sigs": sigs}, f, indent=1, sort_keys=True)
+        return {"status": "updated", "mismatched": [], "config": cfg}
+    with open(snap_path) as f:
+        saved = json.load(f)
+    if saved.get("config") != cfg:
+        return {
+            "status": "config_mismatch",
+            "mismatched": [],
+            "config": cfg,
+            "snapshot_config": saved.get("config"),
+        }
+    mismatched = sorted(
+        n for n in sigs if sigs[n] != saved.get("sigs", {}).get(n)
+    )
+    return {
+        "status": "ok" if not mismatched else "plan_drift",
+        "mismatched": mismatched,
+        "config": cfg,
+    }
+
+
+def run_validation_reps_until_qualified(
+    spark: SparkSession,
+    data_root: str,
+    reps: int = 4,
+    retries: int = 2,
+    retry_reps: int = 2,
+    hash_method: str = "pandas_udf",
+) -> tuple[list[dict], int]:
+    """Rep series with bounded retry-until-qualified (VERDICT r7 task #4,
+    the same doctrine BENCH/scaling.py applies per level-round): if NO
+    warm rep met both qualification budgets (host steal + bandwidth
+    canary), extend the series with ``retry_reps`` more in-JVM reps, up to
+    ``retries`` times — a degraded host window should cost retry time,
+    not a polluted headline. The extension reps are all warm (the JVM
+    already ran the initial series), so appending them keeps rep 0 as the
+    only cold rep ``warm_median`` excludes. Returns (all reps, retries
+    actually used); the final series may still be unqualified — the
+    warm_median stat label says so."""
+    results = run_validation_reps(spark, data_root, reps=reps, hash_method=hash_method)
+    attempts = 0
+    while attempts < retries and not any(rep_qualified(r) for r in results[1:]):
+        attempts += 1
+        results = results + run_validation_reps(
+            spark, data_root, reps=retry_reps, hash_method=hash_method
+        )
+    return results, attempts
 
 
 def warm_median(results: list[dict], budget_frac: float | None = None) -> dict:
@@ -267,17 +400,21 @@ def warm_median(results: list[dict], budget_frac: float | None = None) -> dict:
     covers the WARM reps (all but the first). Within the warm reps, the
     per-rep steal telemetry qualifies the window (VERDICT r5 task #3):
 
-    * ``median_steal_qualified`` — median over the warm reps whose
-      host-steal is within ``STEAL_BUDGET_FRAC`` of their wall (the normal
-      calm-host case: all warm reps qualify and this equals the old warm
-      median);
+    * ``median_steal_qualified`` — median over the warm reps that met
+      BOTH budgets: host-steal within ``STEAL_BUDGET_FRAC`` of wall AND
+      the pre-rep bandwidth canary within ``CANARY_BUDGET_RATIO`` x calm
+      (VERDICT r7 task #3; the normal calm-host case: all warm reps
+      qualify and this equals the old warm median);
     * ``median_steal_unmeasured`` — every covered rep had NO steal
       telemetry (no /proc/stat, e.g. off-Linux): the budget was enforced
       on nothing, so the label must not claim qualification (VERDICT r6
       task #4);
-    * ``median_warm_no_qualified_rep`` — NO warm rep met the budget (the
-      whole run sat in a degraded host window): fall back to the plain
-      warm median, flagged so the reader knows the number is polluted.
+    * ``median_warm_no_qualified_rep_{steal,bandwidth,steal_and_bandwidth}``
+      — NO warm rep met both budgets (the whole run sat in a degraded
+      host window): fall back to the plain warm median, flagged with the
+      budget that bound (bandwidth = steal was fine but the canary blew
+      its 1.15x-calm budget) so the reader knows the number is polluted
+      and why.
 
     A ``_inverted`` suffix is appended when the cold rep is FASTER than
     the covered median — a diagnostic that the warm window is
@@ -295,7 +432,11 @@ def warm_median(results: list[dict], budget_frac: float | None = None) -> dict:
 
     frac = STEAL_BUDGET_FRAC if budget_frac is None else budget_frac
     warm = results[1:] or results
-    qualified = [r for r in warm if steal_qualified(r, frac)]
+    qualified = [r for r in warm if rep_qualified(r, frac)]
+    # single-rep series: the "warm" fallback IS the codegen-cold rep; the
+    # stat label must say so instead of claiming a warm median (ADVICE r7
+    # bench.py:59)
+    cold_only = len(results) == 1
     if qualified:
         covered = qualified
         if all(r.get("steal_ms") is None for r in covered):
@@ -305,7 +446,19 @@ def warm_median(results: list[dict], budget_frac: float | None = None) -> dict:
             stat = "median_steal_qualified"
     else:
         covered = warm
-        stat = "median_warm_no_qualified_rep"
+        # name the budget that disqualified the window (VERDICT r7 task
+        # #3: steal-disqualified vs bandwidth-disqualified must be
+        # distinguishable in the stat label): if some warm reps were
+        # under the steal budget, the canary was the binding constraint.
+        steal_ok = any(steal_qualified(r, frac) for r in warm)
+        canary_ok = any(canary_qualified(r) for r in warm)
+        cause = (
+            "bandwidth" if steal_ok
+            else ("steal" if canary_ok else "steal_and_bandwidth")
+        )
+        stat = f"median_warm_no_qualified_rep_{cause}"
+    if cold_only:
+        stat = "cold_only_" + stat.removeprefix("median_warm_").removeprefix("median_")
     if len(results) > 1 and results[0]["sec"] < _st.median(r["sec"] for r in covered):
         stat += "_inverted"
     rep = sorted(covered, key=lambda r: r["rows_per_sec"])[len(covered) // 2]
@@ -322,6 +475,7 @@ def warm_median(results: list[dict], budget_frac: float | None = None) -> dict:
     med["all_tmpfs_mb"] = [r.get("tmpfs_mb_after") for r in results]
     med["all_shuffle_mb"] = [r.get("shuffle_mb_after") for r in results]
     med["steal_budget_frac"] = frac
+    med["canary_budget_sec"] = round(canary_budget_sec(), 3)
     med["qualified_reps"] = f"{len(qualified)}/{len(warm)}"
     return med
 

@@ -262,11 +262,16 @@ def doc_fingerprint_sql(expr: str) -> str:
 
 def word_ngrams_sql(expr: str, n: int = 3) -> str:
     """DuckDB twin of word_ngrams (generate_series(1, 0) is already empty
-    in DuckDB, so the short-doc guard is the greatest(..., 0) bound)."""
+    in DuckDB, so the short-doc guard is the greatest(..., 0) bound).
+    The outer coalesce pins the NULL-text case to [] — the Spark side
+    returns an empty array for NULL text, while the raw DuckDB expression
+    NULL-propagates through greatest/generate_series on engine versions
+    where greatest(NULL, 0) is NULL (ADVICE r7 text.py:236; the
+    cross-engine test asserts [] == [] exactly, no normalization)."""
     words = f"regexp_extract_all({normalize_text_sql(expr)}, '[a-z0-9]+')"
     return (
-        f"list_transform(generate_series(1, greatest(len({words}) - {n - 1}, 0)), "
-        f"i -> array_to_string(list_slice({words}, i, i + {n - 1}), ' '))"
+        f"coalesce(list_transform(generate_series(1, greatest(len({words}) - {n - 1}, 0)), "
+        f"i -> array_to_string(list_slice({words}, i, i + {n - 1}), ' ')), [])"
     )
 
 

@@ -69,6 +69,11 @@ def _derive_code_version() -> str:
     identity multiplicities, so a semantic change made there must bump the
     version too (VERDICT r5 "what's wrong" #2).
 
+    An explicit ``NPDV_CODE_VERSION`` env override wins over EVERY
+    derivation (ADVICE r7 engine.py:118): it is an explicit operator
+    decision, and consulting it only deep in the fallback ladder meant a
+    normal deploy — where source IS retrievable — silently ignored it.
+
     Fallback ladder when module source is not retrievable (e.g. a
     .pyc-only deployment, where inspect.getsource raises; ADVICE r5
     engine.py:75, hardened per ADVICE r6 engine.py:95):
@@ -78,14 +83,16 @@ def _derive_code_version() -> str:
        coarser than the semantic hash (recompilation or docstring edits
        also bump it), but it still TRACKS the deployed code, so a
        semantic change can never silently honor stale checkpoints;
-    2. honor an explicit ``NPDV_CODE_VERSION`` env override (an operator
-       who knows the deploy's version discipline can restore resume);
-    3. last resort: a unique per-process tag plus a loud warning — every
+    2. last resort: a unique per-process tag plus a loud warning — every
        checkpoint re-validates. Failing toward REDUNDANT work is the
        safe direction; the previous static ``pkg-<version>`` tag failed
        the other way (semantic changes no longer bumped the version, so
        stale checkpoints could be silently honored)."""
     import inspect
+
+    override = os.environ.get("NPDV_CODE_VERSION")
+    if override:
+        return f"env-{override}"
 
     # imported here, not at module top: streaming.incremental imports
     # plans.onepass, and keeping the engine's import graph lazy avoids any
@@ -115,11 +122,13 @@ def _derive_code_version() -> str:
             spec = mod.__spec__
             h.update(spec.loader.get_data(spec.origin))
         return "pyc-" + h.hexdigest()[:12]
-    except Exception:  # noqa: BLE001 - any loader without get_data
+    except (AttributeError, OSError, ImportError):
+        # AttributeError: loader without get_data (or spec/origin None);
+        # OSError: artifact unreadable; ImportError: loader refuses.
+        # Narrowed from a bare except (ADVICE r7 engine.py:118) so a
+        # genuinely misbehaving loader surfaces instead of being masked
+        # as 'underivable'.
         pass
-    override = os.environ.get("NPDV_CODE_VERSION")
-    if override:
-        return f"env-{override}"
     import warnings
 
     tag = f"underivable-{uuid.uuid4().hex[:12]}"

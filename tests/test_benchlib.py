@@ -9,7 +9,13 @@ host, not the engine, and must not enter the reported statistic.
 
 from __future__ import annotations
 
+import pytest
+
 from np_data_validation_spark import benchlib
+
+#: current canary qualification budget — gate-state entries must carry it
+#: to be reused on resume (r8 semantics; pre-canary entries re-measure)
+_CB = round(benchlib.canary_budget_sec(), 3)
 
 
 def _rep(sec: float, steal_ms: int | None, rps: float | None = None) -> dict:
@@ -62,7 +68,7 @@ def test_warm_median_flags_fully_degraded_window():
     m = benchlib.warm_median(reps, budget_frac=0.05)
     # falls back to the plain warm median, flagged; the cold-faster
     # inversion is also flagged because rep 0 beat the covered median
-    assert m["stat"] == "median_warm_no_qualified_rep_inverted"
+    assert m["stat"] == "median_warm_no_qualified_rep_steal_inverted"
     assert m["sec"] == 19.0
     assert m["qualified_reps"] == "0/2"
 
@@ -133,8 +139,10 @@ def test_gate_state_roundtrip_skips_degraded_rounds(tmp_path):
     # window must be re-measured on resume, not locked in.
     scaling = _scaling_module()
     state = str(tmp_path / "state.jsonl")
-    good = {"sec": 100.0, "rows_per_sec": 1.0, "round_steal_qualified": True}
-    bad = {"sec": 300.0, "rows_per_sec": 0.3, "round_steal_qualified": False}
+    good = {"sec": 100.0, "rows_per_sec": 1.0, "round_steal_qualified": True,
+            "canary_budget_sec": _CB}
+    bad = {"sec": 300.0, "rows_per_sec": 0.3, "round_steal_qualified": False,
+           "canary_budget_sec": _CB}
     scaling.append_gate_state(state, 4, 0, good)
     scaling.append_gate_state(state, 16, 0, bad)
     scaling.append_gate_state(state, 4, 1, good)
@@ -155,9 +163,11 @@ def test_gate_state_drops_rounds_from_a_different_budget(tmp_path):
         "rows_per_sec": 1.0,
         "round_steal_qualified": True,
         "steal_budget_frac": 0.25,
+        "canary_budget_sec": _CB,
     }
     matching = dict(loose, steal_budget_frac=0.05)
-    legacy = {"sec": 90.0, "rows_per_sec": 1.1, "round_steal_qualified": True}
+    legacy = {"sec": 90.0, "rows_per_sec": 1.1, "round_steal_qualified": True,
+              "canary_budget_sec": _CB}
     scaling.append_gate_state(state, 4, 0, loose)
     scaling.append_gate_state(state, 4, 1, matching)
     scaling.append_gate_state(state, 16, 0, legacy)
@@ -175,7 +185,8 @@ def test_gate_state_drops_rounds_from_a_different_budget_floor(tmp_path):
     # for minutes-long gate reps — and are kept.
     scaling = _scaling_module()
     state = str(tmp_path / "state.jsonl")
-    base = {"sec": 100.0, "rows_per_sec": 1.0, "round_steal_qualified": True}
+    base = {"sec": 100.0, "rows_per_sec": 1.0, "round_steal_qualified": True,
+            "canary_budget_sec": _CB}
     loose = dict(base, steal_budget_floor_ms=20000.0)
     matching = dict(base, steal_budget_floor_ms=benchlib.STEAL_BUDGET_FLOOR_MS)
     legacy = dict(base)  # predates the field
@@ -191,7 +202,8 @@ def test_gate_state_tolerates_torn_final_line(tmp_path):
     scaling = _scaling_module()
     state = str(tmp_path / "state.jsonl")
     scaling.append_gate_state(
-        state, 4, 0, {"sec": 1.0, "round_steal_qualified": True}
+        state, 4, 0,
+        {"sec": 1.0, "round_steal_qualified": True, "canary_budget_sec": _CB},
     )
     with open(state, "a") as f:
         f.write('{"level": 16, "round": 0, "result": {"sec"')
@@ -202,3 +214,200 @@ def test_gate_state_tolerates_torn_final_line(tmp_path):
 def test_gate_state_missing_file_is_empty():
     scaling = _scaling_module()
     assert scaling.load_gate_state("/nonexistent/state.jsonl") == {}
+
+
+def test_warm_median_labels_single_rep_cold_only():
+    """ADVICE r7 bench.py:59: a 1-rep series has no warm rep — the
+    statistic IS the codegen-cold rep 0 and the label must say so instead
+    of claiming a steal-qualified warm median."""
+    m = benchlib.warm_median([_rep(10.0, 0)])
+    assert m["stat"] == "cold_only_steal_qualified"
+    m = benchlib.warm_median([_rep(10.0, 99999)])
+    assert m["stat"] == "cold_only_no_qualified_rep_steal"
+    # 2+ reps keep the normal warm labels
+    m = benchlib.warm_median([_rep(10.0, 0), _rep(9.0, 0)])
+    assert m["stat"] == "median_steal_qualified"
+
+
+def test_release_canary_frees_the_pinned_array():
+    """ADVICE r7 benchlib.py:126: the 256 MiB canary array must not stay
+    pinned for the remaining process lifetime after a rep series."""
+    sec = benchlib.memory_canary_sec(mb=8, passes=1)
+    assert sec is not None and benchlib._CANARY_ARR is not None
+    benchlib.release_canary()
+    assert benchlib._CANARY_ARR is None
+    # a later call at a different size just reallocates at that size
+    assert benchlib.memory_canary_sec(mb=4, passes=1) is not None
+    assert benchlib._CANARY_ARR.size == 4 * 1024 * 1024 // 8
+    benchlib.release_canary()
+
+
+# --- bandwidth-canary qualification budget (VERDICT r7 task #3) -------------
+
+
+def _crep(sec: float, steal_ms: int | None, canary: float | None) -> dict:
+    r = _rep(sec, steal_ms)
+    r["canary_sec"] = canary
+    return r
+
+
+def test_canary_qualified_budget_boundary(monkeypatch):
+    monkeypatch.setattr(benchlib, "CANARY_CALM_SEC", 0.60)
+    monkeypatch.setattr(benchlib, "CANARY_BUDGET_RATIO", 1.15)
+    assert benchlib.canary_budget_sec() == pytest.approx(0.69)
+    assert benchlib.canary_qualified(_crep(10.0, 0, 0.69))
+    assert not benchlib.canary_qualified(_crep(10.0, 0, 0.691))
+    # missing telemetry (canary disabled / pre-canary saved result) cannot
+    # disqualify — enforce only what was measured
+    assert benchlib.canary_qualified(_crep(10.0, 0, None))
+    assert benchlib.canary_qualified(_rep(10.0, 0))  # no canary key at all
+
+
+def test_warm_median_excludes_bandwidth_degraded_reps(monkeypatch):
+    monkeypatch.setattr(benchlib, "CANARY_CALM_SEC", 0.60)
+    monkeypatch.setattr(benchlib, "CANARY_BUDGET_RATIO", 1.15)
+    reps = [
+        _crep(12.0, 0, 0.60),  # cold
+        _crep(8.0, 0, 0.61),
+        _crep(14.0, 0, 0.95),  # steal-clean but bandwidth-degraded — excluded
+        _crep(9.0, 0, 0.58),
+    ]
+    m = benchlib.warm_median(reps, budget_frac=0.05)
+    assert m["stat"] == "median_steal_qualified"
+    assert m["sec"] == 8.5
+    assert m["qualified_reps"] == "2/3"
+    assert m["canary_budget_sec"] == pytest.approx(0.69)
+
+
+def test_warm_median_names_the_binding_budget(monkeypatch):
+    monkeypatch.setattr(benchlib, "CANARY_CALM_SEC", 0.60)
+    monkeypatch.setattr(benchlib, "CANARY_BUDGET_RATIO", 1.15)
+    # steal fine on every warm rep, canary blown on every warm rep
+    reps = [_crep(10.0, 0, 0.6), _crep(18.0, 0, 1.2), _crep(20.0, 0, 1.3)]
+    m = benchlib.warm_median(reps, budget_frac=0.05)
+    assert m["stat"].startswith("median_warm_no_qualified_rep_bandwidth")
+    # canary fine, steal blown -> steal named
+    reps = [_crep(10.0, 0, 0.6), _crep(18.0, 5000, 0.6), _crep(20.0, 6000, 0.6)]
+    m = benchlib.warm_median(reps, budget_frac=0.05)
+    assert m["stat"].startswith("median_warm_no_qualified_rep_steal")
+    # both blown -> both named
+    reps = [_crep(10.0, 0, 0.6), _crep(18.0, 5000, 1.2), _crep(20.0, 6000, 1.3)]
+    m = benchlib.warm_median(reps, budget_frac=0.05)
+    assert m["stat"].startswith("median_warm_no_qualified_rep_steal_and_bandwidth")
+
+
+def test_gate_state_drops_rounds_without_canary_budget(tmp_path):
+    """Resume must re-measure rounds saved before the canary became a
+    qualification budget (steal-only qualification is strictly weaker) —
+    this is also how pre-canary 4-core rounds get canary coverage
+    backfilled — and rounds qualified under a DIFFERENT canary budget."""
+    import json
+
+    from BENCH import scaling
+
+    state = tmp_path / "state.jsonl"
+    good = {
+        "rows_per_sec": 100.0,
+        "sec": 10.0,
+        "round_steal_qualified": True,
+        "steal_budget_frac": benchlib.STEAL_BUDGET_FRAC,
+        "steal_budget_floor_ms": benchlib.STEAL_BUDGET_FLOOR_MS,
+        "canary_budget_sec": round(benchlib.canary_budget_sec(), 3),
+    }
+    pre_canary = {k: v for k, v in good.items() if k != "canary_budget_sec"}
+    other_budget = dict(good, canary_budget_sec=99.0)
+    with open(state, "w") as f:
+        for i, res in enumerate([good, pre_canary, other_budget]):
+            f.write(json.dumps({"level": 4, "round": i, "result": res}) + "\n")
+    loaded = scaling.load_gate_state(str(state), benchlib.STEAL_BUDGET_FRAC)
+    assert set(loaded) == {(4, 0)}
+
+
+# --- bench plan-snapshot gate + retry-until-qualified (VERDICT r7 #4/#5) ----
+
+
+class _FakeSpark:
+    class sparkContext:
+        defaultParallelism = 8
+
+    class conf:
+        @staticmethod
+        def get(key):
+            return "16"
+
+
+def test_check_plan_snapshots_update_ok_drift(tmp_path):
+    snap = str(tmp_path / "snap.json")
+    queries = {"q1": lambda s, d: "df1", "q2": lambda s, d: "df2"}
+    sig_a = lambda df: [f"Scan {df}", "Exchange"]
+    r = benchlib.check_plan_snapshots(
+        _FakeSpark(), "/sf", queries, snap, signature_fn=sig_a
+    )
+    assert r["status"] == "updated"
+    r = benchlib.check_plan_snapshots(
+        _FakeSpark(), "/sf", queries, snap, signature_fn=sig_a
+    )
+    assert r["status"] == "ok" and r["mismatched"] == []
+    # a silently changed plan must be named, not averaged into a number
+    sig_b = lambda df: (
+        [f"Scan {df}", "Exchange", "SortMergeJoin"] if df == "df2" else sig_a(df)
+    )
+    r = benchlib.check_plan_snapshots(
+        _FakeSpark(), "/sf", queries, snap, signature_fn=sig_b
+    )
+    assert r["status"] == "plan_drift" and r["mismatched"] == ["q2"]
+
+
+def test_check_plan_snapshots_config_scoped(tmp_path):
+    # plan shapes legitimately depend on parallelism/splits — a different
+    # config must read as config_mismatch (labeled), never as false drift
+    snap = str(tmp_path / "snap.json")
+    queries = {"q1": lambda s, d: "df1"}
+    sig = lambda df: ["Scan"]
+    benchlib.check_plan_snapshots(_FakeSpark(), "/sf", queries, snap, signature_fn=sig)
+
+    class OtherSpark(_FakeSpark):
+        class sparkContext:
+            defaultParallelism = 32
+
+    r = benchlib.check_plan_snapshots(
+        OtherSpark(), "/sf", queries, snap, signature_fn=lambda df: ["CHANGED"]
+    )
+    assert r["status"] == "config_mismatch" and r["mismatched"] == []
+
+
+def test_run_validation_reps_until_qualified_retries_bounded(monkeypatch):
+    """VERDICT r7 task #4: the headline gets the same bounded
+    retry-until-qualified loop the gate rounds have. Series 1 is fully
+    degraded; the first retry produces a qualified rep and the loop
+    stops; a permanently degraded window exhausts the bound."""
+    calls = {"n": 0}
+    series = [
+        [_crep(12.0, 0, None), _crep(30.0, 9000, None), _crep(31.0, 9500, None)],
+        [_crep(9.0, 0, None), _crep(8.5, 0, None)],
+    ]
+
+    def fake_reps(spark, root, reps=4, hash_method="pandas_udf"):
+        out = series[min(calls["n"], len(series) - 1)]
+        calls["n"] += 1
+        return out
+
+    monkeypatch.setattr(benchlib, "run_validation_reps", fake_reps)
+    results, used = benchlib.run_validation_reps_until_qualified(
+        None, "/root", reps=3, retries=2, retry_reps=2
+    )
+    assert used == 1 and len(results) == 5
+    m = benchlib.warm_median(results)
+    assert m["stat"] == "median_steal_qualified"
+    assert m["sec"] == 8.75  # median of the two qualified retry reps
+
+    # permanently degraded: bound respected, stat stays flagged
+    calls["n"] = 0
+    series = [[_crep(30.0, 9000, None), _crep(31.0, 9500, None)]] * 10
+    results, used = benchlib.run_validation_reps_until_qualified(
+        None, "/root", reps=2, retries=2, retry_reps=2
+    )
+    assert used == 2
+    assert benchlib.warm_median(results)["stat"].startswith(
+        "median_warm_no_qualified_rep_steal"
+    )

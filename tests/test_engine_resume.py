@@ -343,15 +343,23 @@ def test_code_version_fallback_ladder(monkeypatch):
     """ADVICE r6 engine.py:95: when inspect.getsource fails (.pyc-only
     deploy) the fallback must still TRACK the deployed code — the old
     static pkg-<version> tag meant semantic changes stopped bumping
-    CODE_VERSION, so stale checkpoints could be silently honored. Ladder:
-    compiled-bytes hash -> NPDV_CODE_VERSION override -> unique
-    per-process tag (re-validates everything; fails toward redundant
-    work, never toward stale results)."""
+    CODE_VERSION, so stale checkpoints could be silently honored. Ladder
+    (re-ordered per ADVICE r7 engine.py:118): NPDV_CODE_VERSION override
+    wins over EVERY derivation -> semantic hash -> compiled-bytes hash ->
+    unique per-process tag (re-validates everything; fails toward
+    redundant work, never toward stale results)."""
     import inspect as _inspect
     import warnings
 
     def boom(_path):
         raise OSError("pyc-only deploy")
+
+    # step 0: the explicit operator override wins even on a NORMAL deploy
+    # where source is retrievable (ADVICE r7: consulting it only deep in
+    # the fallback ladder silently ignored it there)
+    monkeypatch.setenv("NPDV_CODE_VERSION", "deploy-0")
+    assert E._derive_code_version() == "env-deploy-0"
+    monkeypatch.delenv("NPDV_CODE_VERSION")
 
     monkeypatch.setattr(_inspect, "getsource", boom)
     v1 = E._derive_code_version()

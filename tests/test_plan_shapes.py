@@ -96,25 +96,9 @@ def test_uniqueness_is_filter_not_aggregation(spark, seq_man, tmp_path):
     assert "PushedFilters: [IsNotNull(tot_mult), GreaterThan(tot_mult,1)]" in plan
 
 
-def _plan_signature(df) -> list[str]:
-    """Ordered operator-name list from the formatted explain of the
-    pre-execution plan, stripped of codegen ids — a stable shape key:
-    exchanges, join strategies, scans and aggregates all appear by name,
-    while data-dependent details (paths, sizes, stats) do not."""
-    import re
-
-    jqe = df._jdf.queryExecution()
-    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted"
-    )
-    ops = []
-    for line in jqe.explainString(mode).splitlines():
-        m = re.match(r"^\(\d+\)\s+(.*)$", line.strip())
-        if m is None:
-            continue
-        name = re.sub(r"\s*\[codegen id : \d+\]\s*$", "", m.group(1)).strip()
-        ops.append(name)
-    return ops
+# the shared signature implementation lives in the package so bench.py can
+# gate its timings on the same shape key (VERDICT r7 task #5)
+from np_data_validation_spark.plans.signature import plan_signature as _plan_signature  # noqa: E402
 
 
 #: queries whose driver-contract callable has side effects beyond building

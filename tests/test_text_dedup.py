@@ -269,9 +269,12 @@ def test_word_ngrams_cross_engine_tricky_strings(spark):
             f"SELECT {sql} FROM (SELECT unnest($1::VARCHAR[]) AS text) t", [rows]
         ).fetchall()
     ]
-    norm = lambda v: list(v) if v is not None else []
-    assert [norm(g) for g in got] == [norm(o) for o in orows]
-    assert norm(got[5]) == ["a b c"] and norm(got[6]) == []
+    # exact comparison, NO None-vs-[] normalization: the SQL twin pins the
+    # NULL-text case to [] with an outer coalesce (ADVICE r7 text.py:236),
+    # so a real NULL-vs-empty divergence between the engines must FAIL here
+    assert [list(g) for g in got] == [list(o) for o in orows]
+    assert list(got[4]) == []  # NULL text -> [] on BOTH sides
+    assert list(got[5]) == ["a b c"] and list(got[6]) == []
 
 
 # --- transitive near-dup clustering (VERDICT r7 task #2) --------------------
