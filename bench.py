@@ -43,7 +43,9 @@ def main() -> None:
     # the 48M-row big run needs more heap than the 8g default at local[32]
     os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
     spark = get_spark(app_name="npdv-bench", cpus=cpus)
-    qs = Q.queries()
+    # BENCH_ONLY: timed here but outside the 50-entry driver contract
+    # (udf_xxhash_tokens — its twin carries the driver correctness row)
+    qs = {**Q.queries(), **Q.BENCH_ONLY}
     timings: dict[str, float] = {}
 
     # warm the JVM/codegen once with a trivial action

@@ -29,6 +29,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from np_data_validation_spark.functions.text import (
+    doc_fingerprint,
+    doc_fingerprint_sql,
     normalize_text,
     normalize_text_sql,
     portable_hash60,
@@ -448,9 +450,14 @@ def connected_components(
     is eagerly localCheckpoint-ed so lineage stays O(1) instead of
     O(rounds); convergence is decided from a 2-value checksum (count +
     xxhash bit_xor), the only thing that ever reaches the driver."""
+    # Checkpoint the INITIAL edge set too: ``pairs`` is typically the tail
+    # of an expensive pipeline (MinHash -> banded LSH -> Jaccard verify),
+    # and without this the first large-star (which references edges twice
+    # via the symmetrization union) and the ``nodes`` projection below
+    # would each recompute that whole pipeline from the scan.
     edges = _cc_canonical(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    )
+    ).localCheckpoint(eager=True)
     nodes = (
         edges.select("u").unionByName(edges.select(F.col("v").alias("u"))).distinct()
     )
@@ -503,6 +510,58 @@ def cluster_keep_one(
     )
 
 
+def dedup_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """The full production dedup stage, end to end: exact pre-pass, then
+    near-dup clustering over the exact survivors only — the composition a
+    training-data pipeline actually runs (and the transitive extension of
+    the reference's dedup-on-insert doctrine,
+    /root/reference/data_validation.py:728-734, :1274-1284).
+
+    Returns EVERY input doc labeled ``(doc_id, drop_stage)`` with
+    ``drop_stage`` in ``('keep', 'exact', 'near')`` — the downstream
+    corpus filter is ``drop_stage = 'keep'``, and the per-stage labels
+    make attrition attributable (how much each stage removed).
+
+    Scale shape: the exact pre-pass is ONE hash shuffle on the content
+    fingerprint (a window over ``_fp``), and it runs FIRST so the
+    expensive MinHash/LSH/Jaccard machinery only ever sees the exact
+    survivors — on web corpora exact dups are the bulk of duplication, so
+    this ordering shrinks the quadratic-risk stage's input, not just its
+    output. Near-dup pairs stay candidates-only (banded LSH with a
+    hot-bucket cap, Jaccard verify on candidates); clustering is the
+    bounded-round alternating-star fixpoint; the final label join is on
+    the unique doc_id key (unskewed)."""
+    fp = doc_fingerprint(text_col).alias("_fp")
+    w = Window.partitionBy("_fp").orderBy("doc_id")
+    labeled = docs.select(
+        F.col("doc_id"), F.col(text_col).alias(text_col), fp
+    ).withColumn("_rn", F.row_number().over(w))
+    survivors = labeled.filter(F.col("_rn") == 1).select("doc_id", text_col)
+    pairs = jaccard_pairs(
+        survivors,
+        minhash_lsh_candidates(survivors, text_col=text_col, max_bucket=max_bucket),
+        text_col=text_col,
+        threshold=threshold,
+    )
+    keep = cluster_keep_one(pairs)
+    return (
+        labeled.select("doc_id", (F.col("_rn") > 1).alias("_exact"))
+        .join(keep.select("doc_id", "keep"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_exact"), F.lit("exact"))
+            .when(F.col("keep") == 0, F.lit("near"))
+            .otherwise(F.lit("keep"))
+            .alias("drop_stage"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB twin SQL builders (for __spark_entry__ oracles)
 # ---------------------------------------------------------------------------
@@ -512,8 +571,13 @@ def cluster_keep_one_sql(pairs_cte_body: str) -> str:
     """DuckDB twin of cluster_keep_one: a recursive CTE propagating every
     reachable label to every node, then min per node — transitive closure
     semantics identical to the alternating-star fixpoint. ``pairs_cte_body``
-    is a SELECT yielding (doc_a, doc_b)."""
-    return f"""WITH RECURSIVE pr AS ({pairs_cte_body}),
+    is a SELECT yielding (doc_a, doc_b).
+
+    ``pr`` is MATERIALIZED explicitly: the recursive term re-executes per
+    iteration, and with the pair pipeline (MinHash -> LSH -> Jaccard)
+    inlined DuckDB re-evaluated it every round — 41.8 s vs 13.4 s
+    materialized at sf0.01 (measured r8)."""
+    return f"""WITH RECURSIVE pr AS MATERIALIZED ({pairs_cte_body}),
         edges AS (SELECT doc_a AS u, doc_b AS v FROM pr WHERE doc_a <> doc_b
                   UNION SELECT doc_b, doc_a FROM pr WHERE doc_a <> doc_b),
         reach(id, lab) AS (
@@ -525,6 +589,29 @@ def cluster_keep_one_sql(pairs_cte_body: str) -> str:
         SELECT doc_id, cluster_rep,
                CAST(doc_id = cluster_rep AS BIGINT) AS keep
         FROM lab"""
+
+
+def dedup_corpus_sql(docs_body: str, verified_pairs_over_surv: str) -> str:
+    """DuckDB twin of dedup_corpus. ``docs_body`` is a SELECT yielding the
+    input doc set (doc_id, text, ...); ``verified_pairs_over_surv`` must be
+    the verified-pairs SELECT built over a table named ``surv`` — the
+    exact-survivors CTE this builder defines — so the twin near-dups the
+    same post-exact-pre-pass doc set the Spark side does. The fingerprint,
+    shingle, minhash and recursive-closure constructions are all the shared
+    builders, so the two engines cannot desynchronize stage by stage."""
+    return f"""WITH dcx AS ({docs_body}),
+        fpx AS (SELECT doc_id, text,
+                       row_number() OVER (
+                         PARTITION BY {doc_fingerprint_sql('text')}
+                         ORDER BY doc_id) AS _rn
+                FROM dcx),
+        surv AS (SELECT doc_id, text FROM fpx WHERE _rn = 1),
+        lab AS ({cluster_keep_one_sql(verified_pairs_over_surv)})
+        SELECT f.doc_id,
+               CASE WHEN f._rn > 1 THEN 'exact'
+                    WHEN l.keep = 0 THEN 'near'
+                    ELSE 'keep' END AS drop_stage
+        FROM fpx f LEFT JOIN lab l ON f.doc_id = l.doc_id"""
 
 
 def word_ngram_hashes_sql(expr: str, n: int = CONTAM_NGRAM_N) -> str:

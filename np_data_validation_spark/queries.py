@@ -815,7 +815,11 @@ def dd_exact_dup_groups(spark, sf_dir):
     )
 
 
-def _minhash_bands_sql(k: int = DD.MINHASH_K, bands: int = DD.MINHASH_BANDS) -> str:
+def _minhash_bands_sql(
+    k: int = DD.MINHASH_K,
+    bands: int = DD.MINHASH_BANDS,
+    aug_sql: str = AUG_DOCS_SQL,
+) -> str:
     r = k // bands
     mh_cols = ", ".join(
         f"{DD.minhash_sql('text', i)} AS mh_{i}" for i in range(k)
@@ -826,7 +830,7 @@ def _minhash_bands_sql(k: int = DD.MINHASH_K, bands: int = DD.MINHASH_BANDS) -> 
             FROM sig"""
         for b in range(bands)
     )
-    return f"WITH aug AS ({AUG_DOCS_SQL}), sig AS (SELECT doc_id, {mh_cols} FROM aug) {band_rows}"
+    return f"WITH aug AS ({aug_sql}), sig AS (SELECT doc_id, {mh_cols} FROM aug) {band_rows}"
 
 
 @q(
@@ -851,12 +855,14 @@ def dd_simhash_values(spark, sf_dir):
     return aug.select("doc_id", DD.simhash_expr("text").alias("simhash"))
 
 
-#: LSH-candidate pairs verified at Jaccard >= 0.8 — shared by the
-#: dd_jaccard_verified oracle and (as the edge list) the transitive
-#: clustering oracle, so the two can never desynchronize.
-_VERIFIED_PAIRS_SQL = f"""WITH aug AS ({AUG_DOCS_SQL}),
+def _verified_pairs_sql(aug_sql: str = AUG_DOCS_SQL) -> str:
+    """LSH-candidate pairs verified at Jaccard >= 0.8 over the doc set
+    ``aug_sql`` — shared by the dd_jaccard_verified oracle, (as the edge
+    list) the transitive clustering oracle, and (over the exact-survivor
+    set) the dedup-corpus oracle, so none of them can desynchronize."""
+    return f"""WITH aug AS ({aug_sql}),
          sh AS (SELECT doc_id, {DD.shingle_sql('text')} AS sh FROM aug),
-         bandsl AS ({_minhash_bands_sql()}),
+         bandsl AS ({_minhash_bands_sql(aug_sql=aug_sql)}),
          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                   FROM bandsl a JOIN bandsl b
                     ON a.band = b.band AND a.band_hash = b.band_hash
@@ -866,6 +872,9 @@ _VERIFIED_PAIRS_SQL = f"""WITH aug AS ({AUG_DOCS_SQL}),
         FROM cand JOIN sh x ON cand.doc_a = x.doc_id
                   JOIN sh y ON cand.doc_b = y.doc_id
         WHERE len(list_intersect(x.sh, y.sh)) * 1.0 / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.8"""
+
+
+_VERIFIED_PAIRS_SQL = _verified_pairs_sql()
 
 
 def _verified_pairs_df(spark, sf_dir) -> DataFrame:
@@ -894,6 +903,24 @@ def dd_cluster_keep_one(spark, sf_dir):
     tests/test_text_dedup.py as well)."""
     pairs = _verified_pairs_df(spark, sf_dir)
     return DD.cluster_keep_one(pairs)
+
+
+@q(
+    "dd_dedup_corpus",
+    DD.dedup_corpus_sql(
+        AUG_DOCS_SQL, _verified_pairs_sql("SELECT doc_id, text FROM surv")
+    ),
+)
+def dd_dedup_corpus(spark, sf_dir):
+    """The full production dedup stage end to end (exact pre-pass →
+    MinHash/LSH/Jaccard near-dup pairs over the exact survivors →
+    transitive clustering → keep-one): every augmented doc labeled
+    ('keep' | 'exact' | 'near'). The DuckDB twin composes the SAME shared
+    builders over the SAME survivor set (window on the shared content
+    fingerprint, recursive-CTE closure), so each stage's attrition is
+    value-checked, not just the final corpus size."""
+    aug = _augmented_docs(_t(spark, sf_dir, "documents"))
+    return DD.dedup_corpus(aug, max_bucket=None)
 
 
 @q(
@@ -1072,10 +1099,16 @@ def t2_union_distinct(spark, sf_dir):
 # --- non-SQL-expressible (rows-only checks) ----------------------------------
 
 
-@q("udf_xxhash_tokens")  # no oracle: pandas-UDF xxhash64 kernel
 def udf_xxhash_tokens(spark, sf_dir):
     """The mandated pandas/Arrow UDF surface: synthesize int32 token arrays
-    from embeddings, fingerprint with the vectorized XXH64 kernel."""
+    from embeddings, fingerprint with the vectorized XXH64 kernel.
+
+    UNREGISTERED from the driver contract in r8 (the driver sweeps at most
+    50 queries() entries): this was the contract's last rows-only row, and
+    the kernel's values are already driver-checked by its registered twin
+    ``udf_xxhash_golden`` (pinned spec goldens) — unregistering it in favor
+    of ``dd_dedup_corpus`` makes every driver row value-checked. Still
+    timed by bench.py (BENCH_ONLY) and exercised by tests/test_hashing.py."""
     from np_data_validation_spark.functions.hashing import tok_hash_udf
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1416,6 +1449,14 @@ def streaming_verdict_rollup(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+#: timed by bench.py but NOT part of the <=50-entry driver contract (see
+#: udf_xxhash_tokens docstring — its values are driver-checked via the
+#: registered udf_xxhash_golden twin)
+BENCH_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "udf_xxhash_tokens": udf_xxhash_tokens,
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-contract registry, kept to AT MOST 50 entries.
 
@@ -1427,7 +1468,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ann_lsh_topk docstrings), and the streaming entry — the engine's only
     Structured-Streaming evidence, and the most expensive single query —
     is promoted to position 2 so ANY truncation rule (count cap or time
-    budget) still sweeps it."""
+    budget) still sweeps it. As of r8 every registered entry carries a
+    DuckDB value oracle (the last rows-only row, udf_xxhash_tokens, moved
+    to BENCH_ONLY; its values are driver-checked via udf_xxhash_golden)."""
     d = dict(_QUERIES)
     assert len(d) <= 50, (
         f"{len(d)} queries registered; the driver sweeps at most 50 — "

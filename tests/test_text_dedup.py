@@ -359,3 +359,118 @@ def test_cluster_keep_one_matches_duckdb_recursive_cte(spark):
     # an input anomaly, not a cluster)
     assert all(n != 7 for n, _, _ in got)
     assert got == [(a, b, int(k)) for a, b, k in want]
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_connected_components_random_vs_union_find(spark, seed):
+    """Randomized equivalence: the alternating-star fixpoint must match a
+    plain union-find on arbitrary graph shapes — sparse edges, a dense
+    blob, and a hub star in one pair set (star contraction bugs tend to
+    hide in exactly one of those shapes)."""
+    import random
+
+    rng = random.Random(seed)
+    edges = set()
+    # sparse random edges over a 120-node id space (leaves singletons out)
+    edges |= {tuple(sorted(rng.sample(range(120), 2))) for _ in range(60)}
+    # dense blob on 10 ids
+    blob = rng.sample(range(200, 240), 10)
+    edges |= {tuple(sorted(rng.sample(blob, 2))) for _ in range(25)}
+    # hub star: one high-degree node (the skew case large-star handles)
+    hub = 500
+    edges |= {(hub, 600 + i) for i in range(30)}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: (r["cluster_rep"], r["keep"])
+        for r in DD.cluster_keep_one(df).collect()
+    }
+    assert set(got) == set(want)
+    for x, rep in want.items():
+        assert got[x] == (rep, int(x == rep)), f"node {x}"
+
+
+# ---------------------------------------------------------------------------
+# dedup_corpus: the end-to-end production dedup stage
+# ---------------------------------------------------------------------------
+
+#: ~50 words, so a 5-char prefix cut leaves char-5-gram Jaccard ~0.97 —
+#: high enough that all 4 LSH bands agree deterministically
+_LONG = " ".join(f"tok{i:02d} filler words here" for i in range(12))
+
+
+def test_dedup_corpus_stage_labels(spark):
+    """Exact dups drop first ('exact'), near-dups of the surviving
+    representative drop second ('near'), uniques keep — including the
+    subtle case of an exact dup OF a near-dup (doc 5): it must be labeled
+    'exact' (dropped by the cheap pre-pass), while its survivor (doc 3)
+    is the one the near stage sees and drops."""
+    rows = [
+        (1, _LONG),
+        (2, _LONG),            # exact dup of 1
+        (3, _LONG[5:]),        # near dup of 1
+        (5, _LONG[5:]),        # exact dup of 3 (itself a near dup)
+        (4, "completely unrelated zebra quartz jumble vortex"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["drop_stage"]
+        for r in DD.dedup_corpus(docs, max_bucket=None).collect()
+    }
+    assert got == {1: "keep", 2: "exact", 3: "near", 4: "keep", 5: "exact"}
+
+
+def test_dedup_corpus_matches_duckdb_twin(spark):
+    """Cross-engine parity of the full composed pipeline (fingerprint
+    window -> survivor set -> LSH pairs -> Jaccard verify -> recursive
+    closure -> stage labels) on a mixed fixture. Both engines build every
+    stage from the shared constants, so a drift in ANY stage (including
+    LSH candidate generation, which need not have perfect recall — only
+    cross-engine equality) fails here."""
+    import duckdb
+
+    from np_data_validation_spark.queries import _verified_pairs_sql
+
+    rows = [
+        (1, _LONG),
+        (2, _LONG),
+        (3, _LONG[5:]),
+        (5, _LONG[5:]),
+        (4, "completely unrelated zebra quartz jumble vortex"),
+        (9, "another singleton text about rivers and maps"),
+        (10, "another singleton text about rivers and maps"),  # exact of 9
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["drop_stage"])
+        for r in DD.dedup_corpus(docs, max_bucket=None).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            DD.dedup_corpus_sql(
+                "SELECT doc_id, text FROM d",
+                _verified_pairs_sql("SELECT doc_id, text FROM surv"),
+            )
+        ).fetchall()
+    )
+    assert got == want
+    assert dict(want)[10] == "exact"

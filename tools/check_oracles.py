@@ -23,11 +23,12 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 #: fails if a twin goes red or a new rows-only query appears without one —
 #: so the by-design gaps can't silently widen (VERDICT r3 #7).
 NO_ORACLE_TWINS = {
-    "udf_xxhash_tokens": "udf_xxhash_golden",   # value-level vs pinned spec goldens
-    # r8: ann_lsh_topk and hll_distinct_sketch were UNREGISTERED from the
-    # driver contract (the driver sweeps at most 50 entries and those two
-    # rows-only paths are redundant with their value-checked twins
-    # ann_lsh_topk_portable / hll_distinct_check); pytest still covers both.
+    # r8: EMPTY — every registered driver query now carries a DuckDB value
+    # oracle. The rows-only paths were unregistered in favor of their
+    # value-checked twins (the driver sweeps at most 50 entries):
+    # ann_lsh_topk -> ann_lsh_topk_portable, hll_distinct_sketch ->
+    # hll_distinct_check, udf_xxhash_tokens -> udf_xxhash_golden (the last
+    # is still bench-timed via queries.BENCH_ONLY). pytest covers all three.
 }
 
 
