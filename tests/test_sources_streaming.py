@@ -344,3 +344,100 @@ def _assert_scratch_reclaimed(out: str) -> None:
     work = os.path.join(out, "_work")
     leftover = os.listdir(work) if os.path.isdir(work) else []
     assert leftover == [], f"unreclaimed scratch batches: {leftover}"
+
+def test_windowed_stats_watermark_drops_late_rows(spark, tmp_path):
+    """Watermarked event-time windows (streaming/windowed.py): the same
+    declaration runs as a batch (the oracle) and as two availableNow
+    trigger runs sharing one checkpoint — the production batch-with-resume
+    shape — where run 2 delivers a row LATER than the watermark persisted
+    by run 1. That row must be dropped (visible in the state operator's
+    numRowsDroppedByWatermark metric) and the open window must never be
+    emitted; the batch oracle over the same files still counts both,
+    which is the observable difference that proves the watermark works.
+
+    Pinned Spark behavior (empirical, this build): WITHIN a single
+    trigger run the late-row filter is planned with the run-start
+    watermark and does not tighten between micro-batches — only eviction/
+    emission follows the advancing watermark. Cross-run, the watermark is
+    restored from the checkpoint commit log and the filter engages. So
+    bounding state AND dropping late data relies on the checkpointed
+    restart cadence, which is exactly how the engine's incremental
+    validation runs (streaming/incremental.py)."""
+    import datetime as dt
+    import os as _os
+
+    from np_data_validation_spark.streaming.windowed import windowed_source_stats
+
+    base = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def mkdf(specs):
+        return spark.createDataFrame(
+            [
+                (f"d{i}", base + dt.timedelta(minutes=m), s, n)
+                for i, (m, s, n) in enumerate(specs)
+            ],
+            "doc_id string, event_ts timestamp, source string, n_tok int",
+        )
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    outp = str(tmp_path / "out")
+    _os.makedirs(landing)
+
+    def run():
+        stream = spark.readStream.schema(
+            "doc_id string, event_ts timestamp, source string, n_tok int"
+        ).parquet(landing)
+        q = (
+            windowed_source_stats(stream)
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    # run 1: two rows in w0=[10:00,10:10), one at 10:17 — end-of-run
+    # watermark = 10:17 - 5min = 10:12 > w0.end, persisted to the ckpt
+    mkdf([(2, "srcA", 10), (7, "srcA", 20), (17, "srcA", 30)]).coalesce(
+        1
+    ).write.mode("append").parquet(landing)
+    run()
+    # run 2: a LATE row at 10:03 (w0 closed under the restored 10:12
+    # watermark — must be dropped) and an on-time row at 10:45 (advances
+    # the watermark to 10:40, closing and emitting w1)
+    mkdf([(3, "srcA", 40), (45, "srcA", 50)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    q2 = run()
+    dropped = sum(
+        p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in q2.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1
+    got = {
+        (r["window_start"].minute, r["source"]): (
+            r["n_seqs"],
+            r["sum_tok"],
+            r["min_tok"],
+            r["max_tok"],
+        )
+        for r in spark.read.parquet(outp).collect()
+    }
+    # only the two CLOSED windows are emitted (w2=[10:40,10:50) stays open
+    # — append mode never emits an unfinalized window), and w0 does NOT
+    # include the late 10:03 row
+    assert got == {(0, "srcA"): (2, 30, 10, 20), (10, "srcA"): (1, 30, 30, 30)}
+    # the batch oracle over the SAME files counts the late row and the
+    # open window — the two differences are exactly watermark semantics
+    batch = {
+        (r["window_start"].minute, r["source"]): (r["n_seqs"], r["sum_tok"])
+        for r in windowed_source_stats(spark.read.parquet(landing)).collect()
+    }
+    assert batch[(0, "srcA")] == (3, 70)
+    assert batch[(10, "srcA")] == (1, 30)
+    assert batch[(40, "srcA")] == (1, 50)
