@@ -441,3 +441,106 @@ def test_windowed_stats_watermark_drops_late_rows(spark, tmp_path):
     assert batch[(0, "srcA")] == (3, 70)
     assert batch[(10, "srcA")] == (1, 30)
     assert batch[(40, "srcA")] == (1, 50)
+
+
+def test_stateful_source_totals_accumulate_across_batches_and_restarts(
+    spark, tmp_path
+):
+    """Custom stateful operator (applyInPandasWithState,
+    streaming/stateful.py): per-source cumulative totals must be a
+    monotone prefix-sum series — state carried across micro-batches
+    WITHIN a run, across availableNow RESTARTS sharing the checkpoint,
+    with no emission for sources absent from a batch — and the last row
+    per source must equal the stateless batch groupBy oracle over the
+    same files."""
+    import os as _os
+
+    from np_data_validation_spark.streaming.stateful import (
+        stateful_source_totals,
+    )
+
+    schema = "doc_id string, source string, n_tok int"
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    outp = str(tmp_path / "out")
+    _os.makedirs(landing)
+    _os.makedirs(outp)
+
+    def land(rows, mtime):
+        before = set(_os.listdir(landing))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        for f in set(_os.listdir(landing)) - before:
+            if f.endswith(".parquet"):
+                _os.utime(_os.path.join(landing, f), (mtime, mtime))
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(outp)
+
+        q = (
+            stateful_source_totals(stream)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    land([("d1", "srcA", 10), ("d2", "srcA", 20), ("d3", "srcB", 5)], 1_700_000_000)
+    land([("d4", "srcA", 30)], 1_700_000_100)
+    run()
+    got1 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(outp)
+        .select("source", "n_batches", "n_seqs_cum", "sum_tok_cum")
+        .collect()
+    )
+    # two micro-batches: srcA's state carried 1 -> 2; srcB absent from
+    # batch 2 emits nothing there
+    assert got1 == [
+        ("srcA", 1, 2, 30),
+        ("srcA", 2, 3, 60),
+        ("srcB", 1, 1, 5),
+    ]
+
+    # restart with the same checkpoint: new file, srcA resumes from its
+    # persisted state, srcC starts fresh, srcB's state is untouched
+    land([("d5", "srcA", 40), ("d6", "srcC", 7)], 1_700_000_200)
+    run()
+    rows = sorted(
+        tuple(r)
+        for r in spark.read.parquet(outp)
+        .select("source", "n_batches", "n_seqs_cum", "sum_tok_cum")
+        .collect()
+    )
+    assert rows == [
+        ("srcA", 1, 2, 30),
+        ("srcA", 2, 3, 60),
+        ("srcA", 3, 4, 100),
+        ("srcB", 1, 1, 5),
+        ("srcC", 1, 1, 7),
+    ]
+    # last row per source == the stateless batch oracle over all files
+    import pyspark.sql.functions as _F
+
+    oracle = {
+        r["source"]: (r["n"], r["t"])
+        for r in spark.read.parquet(landing)
+        .groupBy("source")
+        .agg(_F.count(_F.lit(1)).alias("n"), _F.sum("n_tok").alias("t"))
+        .collect()
+    }
+    last = {}
+    for src, nb, n, t in rows:
+        if nb >= last.get(src, (0,))[0]:
+            last[src] = (nb, n, t)
+    assert {s: (n, t) for s, (_, n, t) in last.items()} == oracle
