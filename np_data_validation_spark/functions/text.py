@@ -301,3 +301,55 @@ def hash_sample_predicate_sql(key_expr: str, rate_ppm_expr: str, salt: str = "")
     lit = salt.replace("'", "''")
     h = portable_hash60_sql(f"(CAST({key_expr} AS VARCHAR) || '{lit}')")
     return f"(({h}) % 1000000) < ({rate_ppm_expr})"
+
+
+# ---------------------------------------------------------------------------
+# the quality-filter funnel (production corpus-filter composition)
+# ---------------------------------------------------------------------------
+
+#: funnel thresholds — ONE set of constants shared by the Spark expression
+#: and the SQL twin, so the two engines cannot drift stage by stage
+FUNNEL_LANGS = ("en", "de", "es", "fr")
+FUNNEL_MIN_TOKENS = 20
+FUNNEL_MAX_TOKENS = 100_000
+FUNNEL_MIN_QUALITY = 0.5
+FUNNEL_MAX_REPETITION = 0.3
+
+
+def filter_funnel(col: Column | str = "text") -> Column:
+    """First-rejection-reason label for the composed corpus filter:
+    ``'lang' | 'short' | 'long' | 'quality' | 'repetition' | 'pii' |
+    'keep'``. The evaluation ORDER is part of the contract — each doc is
+    charged to the first stage that rejects it, so per-stage attrition
+    counts are attributable (the same design as operators/dedup.py's
+    dedup_corpus labels). Cheap row-local signals run before expensive
+    ones; everything is a single columnar CASE (one scan, zero shuffle —
+    the downstream ``groupBy(reason)`` is the only exchange and has 7
+    keys)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.when(~lang_id(c).isin(*FUNNEL_LANGS), F.lit("lang"))
+        .when(ws_token_count(c) < FUNNEL_MIN_TOKENS, F.lit("short"))
+        .when(ws_token_count(c) > FUNNEL_MAX_TOKENS, F.lit("long"))
+        .when(quality_score(c) < FUNNEL_MIN_QUALITY, F.lit("quality"))
+        .when(repetition_ratio(c) > FUNNEL_MAX_REPETITION, F.lit("repetition"))
+        .when(pii_email_count(c) + pii_phone_count(c) > 0, F.lit("pii"))
+        .otherwise(F.lit("keep"))
+    )
+
+
+def filter_funnel_sql(expr: str) -> str:
+    """DuckDB twin of filter_funnel: the same CASE over the same shared
+    threshold constants and the same per-signal twin expressions."""
+    langs = ", ".join(f"'{l}'" for l in FUNNEL_LANGS)
+    return (
+        f"CASE WHEN {lang_id_sql(expr)} NOT IN ({langs}) THEN 'lang'"
+        f" WHEN {ws_token_count_sql(expr)} < {FUNNEL_MIN_TOKENS} THEN 'short'"
+        f" WHEN {ws_token_count_sql(expr)} > {FUNNEL_MAX_TOKENS} THEN 'long'"
+        f" WHEN {quality_score_sql(expr)} < {FUNNEL_MIN_QUALITY} THEN 'quality'"
+        f" WHEN {repetition_ratio_sql(expr)} > {FUNNEL_MAX_REPETITION}"
+        f"      THEN 'repetition'"
+        f" WHEN {pii_email_count_sql(expr)} + {pii_phone_count_sql(expr)} > 0"
+        f"      THEN 'pii'"
+        f" ELSE 'keep' END"
+    )

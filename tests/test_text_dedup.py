@@ -474,3 +474,50 @@ def test_dedup_corpus_matches_duckdb_twin(spark):
     )
     assert got == want
     assert dict(want)[10] == "exact"
+
+
+def test_filter_funnel_matches_duckdb_twin(spark, docs):
+    """The composed quality-filter funnel: per-doc first-rejection-reason
+    labels must agree with the DuckDB twin doc by doc at sf0.001 (with
+    PII planted into every 23rd doc, same expression both engines — the
+    raw synthetic corpus contains none), and the fixture must actually
+    exercise several stages."""
+    import duckdb
+
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 23 == 0, planted)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    got = {
+        r["doc_id"]: r["reason"]
+        for r in aug.select(
+            "doc_id", TX.filter_funnel("text").alias("reason")
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            f"""WITH aug AS (
+                  SELECT doc_id,
+                         CASE WHEN doc_id % 23 = 0 THEN
+                           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                                || '@example.com or call 555-123-'
+                                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                         ELSE text END AS text
+                  FROM read_parquet('{SF_DIR}/documents.parquet'))
+                SELECT doc_id, {TX.filter_funnel_sql('text')} AS reason
+                FROM aug"""
+        ).fetchall()
+    )
+    assert got == want
+    reasons = set(got.values())
+    assert "keep" in reasons and "pii" in reasons and len(reasons) >= 3, reasons
