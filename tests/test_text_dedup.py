@@ -521,3 +521,93 @@ def test_filter_funnel_matches_duckdb_twin(spark, docs):
     assert got == want
     reasons = set(got.values())
     assert "keep" in reasons and "pii" in reasons and len(reasons) >= 3, reasons
+
+
+def test_filter_funnel_cross_engine_tricky_strings(spark):
+    """Funnel parity on inputs the synthetic corpus never exercises:
+    NULL and empty text (every stage predicate is NULL/vacuous — both
+    engines must fall through the CASE to 'keep' identically), non-ASCII
+    words (outside both engines' [a-z]+ stopword hits -> 'lang'),
+    whitespace collapse at the token-count boundary, planted PII inside
+    otherwise-keepable text, and digit-heavy noise."""
+    import duckdb
+
+    _VARIED = (
+        "the quick brown fox jumps over a lazy dog while many people "
+        "watch from the old bridge and some birds fly above the river "
+        "in the warm morning light of an early summer day"
+    )
+
+    rows = [
+        None,
+        "",
+        "   ",
+        "ünïcödé wörtér " * 30,                      # no ASCII stopwords -> lang
+        "the " * 19,                                  # 19 tokens -> short
+        "word " * 25,                                 # no stopwords -> en? q low
+        _VARIED + " reach me at someone@example.org now",   # planted email
+        _VARIED + " or call 123-456-7890 instead",           # planted phone
+        "the 1 2 3 4 5 " * 40,                               # digit-heavy
+        _VARIED,
+    ]
+    df = spark.createDataFrame([(t,) for t in rows], "text string")
+    got = [
+        r["x"] for r in df.select(TX.filter_funnel("text").alias("x")).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {TX.filter_funnel_sql('text')} FROM "
+            "(SELECT unnest($1::VARCHAR[]) AS text) t",
+            [rows],
+        ).fetchall()
+    ]
+    assert got == want
+    # and the fixture hit the stages it was built to hit
+    assert got[3] == "lang" and got[4] == "short"
+    assert got[6] == "pii" and got[7] == "pii"
+    assert got[9] == "keep"
+
+
+def test_filter_funnel_cross_engine_hypothesis(spark):
+    """Property: funnel labels agree between engines on ARBITRARY ASCII
+    text (printable chars incl. regex metacharacters, quotes, @, digits,
+    control whitespace) — the adversarial sweep behind the fixture-based
+    parity tests. One hypothesis example = one batch of strings = one
+    Spark job, so examples are kept few and wide."""
+    pytest.importorskip("hypothesis")
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+    text = st.text(
+        alphabet=st.sampled_from(
+            list(
+                "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                "0123456789 \t\n.,;:!?@#$%^&*()[]{}|\\/\"'`~+-=_<>"
+            )
+        ),
+        max_size=60,
+    )
+
+    @given(st.lists(text, min_size=1, max_size=40))
+    @settings(max_examples=12, deadline=None)
+    def check(rows):
+        df = spark.createDataFrame([(t,) for t in rows], "text string")
+        got = [
+            r["x"]
+            for r in df.select(TX.filter_funnel("text").alias("x")).collect()
+        ]
+        want = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {TX.filter_funnel_sql('text')} FROM "
+                "(SELECT unnest($1::VARCHAR[]) AS text) t",
+                [rows],
+            ).fetchall()
+        ]
+        assert got == want
+
+    check()
