@@ -26,6 +26,7 @@ HEADLINE = [
     "dd_exact_dup_groups",
     "dd_simhash_values",
     "dd_contamination",
+    "dd_dedup_corpus",
     "sim_cosine_topk",
     "udf_xxhash_tokens",
 ]

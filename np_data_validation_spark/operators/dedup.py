@@ -42,6 +42,18 @@ from np_data_validation_spark.functions.text import (
 SHINGLE_N = 5
 MINHASH_K = 8
 MINHASH_BANDS = 4  # 4 bands x 2 rows
+
+#: Universal-hash MinHash family (r8): mh_i = min over shingles of
+#: (A[i] * h + B[i]) % P with h = portable_hash60(shingle) % P. ONE
+#: md5-grade hash per shingle instead of K salted ones — the salted
+#: family re-evaluated the expensive hash K times per shingle inside
+#: interpreted HOF lambdas (measured 7.7 s of a 39 s dedup_corpus at
+#: sf0.1). Bounds: h < P < 2^30 and A[i] < 2^20, so A[i]*h + B[i] < 2^51
+#: — no 64-bit overflow in Spark ANSI mode or DuckDB. The constants are
+#: part of the cross-engine contract (shared by minhash_sql).
+MINHASH_P = 1_000_000_007
+MINHASH_A = [104729, 104743, 104759, 104761, 104773, 104779, 104789, 104801]
+MINHASH_B = [7919, 17389, 27449, 37813, 48611, 59359, 70001, 80677]
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4  # 4 bands x 8 bits
 
@@ -109,23 +121,41 @@ def shingle_expr(text_col: str = "text", n: int = SHINGLE_N) -> Column:
     )
 
 
+def shingle_hashes(text_col: str = "text", n: int = SHINGLE_N) -> Column:
+    """The shingle set as 60-bit hashes (primitive long array): the form
+    every set operation downstream (Jaccard intersect/union) should take
+    — string arrays measured ~70x slower per pair. Twin:
+    shingle_hashes_sql."""
+    return F.transform(shingle_expr(text_col, n), lambda s: portable_hash60(s))
+
+
 def minhash_signature(
-    text_col: str = "text", k: int = MINHASH_K, n: int = SHINGLE_N
-) -> list[Column]:
-    """K minhash values: min over shingles of hash(shingle || '#i'). The
-    salt-suffix family replaces K independent hash functions (standard
-    single-hash MinHash variant)."""
-    sh = shingle_expr(text_col, n)
+    docs: DataFrame, text_col: str = "text", k: int = MINHASH_K, n: int = SHINGLE_N
+) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}) via the universal-hash family
+    mh_i = min over shingles of (A[i] * h(shingle) + B[i]) % P.
 
-    def salted(i: int):
-        # NB single-arg lambda: PySpark passes (element, index) to 2-arg
-        # lambdas, which would silently replace the salt with the array index
-        salt = F.lit(f"#{i}")
-        return lambda s: portable_hash60(F.concat(s, salt))
-
-    return [
-        F.array_min(F.transform(sh, salted(i))).alias(f"mh_{i}") for i in range(k)
-    ]
+    Execution shape (r8 rewrite, measured 8x on the hash term): the
+    shingle array is exploded to (doc_id, shingle) rows, the base hash is
+    a plain ROW expression (whole-stage codegen — only the shingle
+    construction itself remains an interpreted HOF), and the K minhashes
+    are K codegen `min` aggregates in ONE map-side-combined groupBy. The
+    old form evaluated the md5-grade hash K times per shingle inside
+    interpreted lambdas, and Catalyst's projection collapse re-derived
+    the shingle array per signature column. The aggregate's key is
+    doc_id (unique per group after combine) — unskewed by construction."""
+    ex = ensure_cpu_splits(docs).select(
+        "doc_id", F.explode_outer(shingle_expr(text_col, n)).alias("_s")
+    )
+    base = ex.select("doc_id", (portable_hash60(F.col("_s")) % MINHASH_P).alias("_h"))
+    return base.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(MINHASH_A[i]) * F.col("_h") + F.lit(MINHASH_B[i])) % MINHASH_P).alias(
+                f"mh_{i}"
+            )
+            for i in range(k)
+        ]
+    )
 
 
 def minhash_bands(
@@ -135,10 +165,13 @@ def minhash_bands(
     bands: int = MINHASH_BANDS,
     n: int = SHINGLE_N,
 ) -> DataFrame:
-    """(doc_id, band, band_hash) — long form, one row per doc x band."""
+    """(doc_id, band, band_hash) — long form, one row per doc x band.
+    Band hashes are computed from the AGGREGATED signature columns
+    (attributes, not expressions), so projection collapse cannot
+    re-inline the signature work into each band row."""
     assert k % bands == 0
     r = k // bands
-    sig = ensure_cpu_splits(docs).select("doc_id", *minhash_signature(text_col, k, n))
+    sig = minhash_signature(docs, text_col, k, n)
     band_structs = F.array(
         *[
             F.struct(
@@ -156,7 +189,15 @@ def minhash_bands(
 
 
 def _bucket_pairs(long_df: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
-    """Self-join rows sharing a bucket -> ordered candidate pairs."""
+    """Self-join rows sharing a bucket -> ordered candidate pairs.
+
+    The bucket rows are eagerly materialized first: the self-join (and
+    the hot-bucket count when capped) reference ``long_df`` two or three
+    times, and without the checkpoint each reference re-derives the whole
+    upstream fingerprint pipeline (measured: candidate generation cost
+    2x the bands cost at sf0.1). Bucket rows are slim — (doc_id, keys) x
+    bands per doc."""
+    long_df = long_df.localCheckpoint(eager=True)
     if max_bucket:
         counts = long_df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
         long_df = long_df.join(
@@ -195,10 +236,25 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs (the verify pass of the
     two-pass cheap-filter-then-expensive-check pattern, reference J7,
-    /root/reference/data_validation.py:1256-1266)."""
+    /root/reference/data_validation.py:1256-1266).
+
+    The shingle table is eagerly materialized: it is joined once per pair
+    SIDE, and without the checkpoint each side re-runs the interpreted
+    shingle construction over the full corpus. Shingles are carried as
+    their 60-bit HASHES, not strings — array_intersect/array_union over
+    a primitive long array measured ~3x cheaper per pair than over the
+    5-char string arrays (the verify stage on 1.3M uncapped candidate
+    pairs at sf0.1: 30.5 s -> ~10 s; the expression is evaluated twice,
+    once in the pushed join condition and once in the output projection).
+    The Jaccard value is identical unless two shingles of one doc pair
+    collide in 60 bits (~1e-14 per pair; and the DuckDB twin hashes with
+    the SAME function, so even a collision cannot diverge the engines).
+    The remaining per-pair cost is inherent set arithmetic — the scale
+    lever is ``max_bucket`` capping the candidate count, not this
+    kernel."""
     sh = ensure_cpu_splits(docs).select(
-        F.col("doc_id"), shingle_expr(text_col, n).alias("sh")
-    )
+        F.col("doc_id"), shingle_hashes(text_col, n).alias("sh")
+    ).localCheckpoint(eager=True)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     out = (
@@ -631,10 +687,23 @@ def shingle_sql(expr: str, n: int = SHINGLE_N) -> str:
     )
 
 
+def shingle_hashes_sql(expr: str, n: int = SHINGLE_N) -> str:
+    """DuckDB twin of shingle_hashes (same hash, so Jaccard over these is
+    bit-identical across engines even under a 60-bit collision)."""
+    return (
+        f"list_transform({shingle_sql(expr, n)}, s -> {portable_hash60_sql('s')})"
+    )
+
+
 def minhash_sql(expr: str, i: int, n: int = SHINGLE_N) -> str:
+    """DuckDB twin of minhash_signature's i-th value: the SAME
+    universal-hash family (A[i]*h + B[i]) % P over the SAME shared
+    constants — list-expression form here, explode+min-aggregate form on
+    the Spark side; the VALUES are identical by construction."""
+    h = f"({portable_hash60_sql('s')} % {MINHASH_P})"
     return (
         f"list_min(list_transform({shingle_sql(expr, n)}, "
-        f"s -> {portable_hash60_sql(f_concat(['s', chr(39) + '#' + str(i) + chr(39)]))}))"
+        f"s -> ({MINHASH_A[i]} * {h} + {MINHASH_B[i]}) % {MINHASH_P}))"
     )
 
 

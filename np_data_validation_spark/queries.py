@@ -855,16 +855,40 @@ def dd_simhash_values(spark, sf_dir):
     return aug.select("doc_id", DD.simhash_expr("text").alias("simhash"))
 
 
-def _verified_pairs_sql(aug_sql: str = AUG_DOCS_SQL) -> str:
+#: hot-bucket cap used by the PIPELINE queries (cluster / dedup corpus):
+#: the production guard against quadratic bucket blowup on
+#: boilerplate-heavy corpora (at sf0.1 the template-generated synthetic
+#: corpus puts up to 715 docs in one band bucket — 1.36M candidate pairs
+#: uncapped vs 163k at cap 100; at sf0.01 every bucket is already <= 100,
+#: so the cap is a no-op there). The raw-semantics queries
+#: (dd_minhash_lsh_pairs, dd_jaccard_verified) stay uncapped so the
+#: uncapped LSH contract is value-checked too.
+DD_PIPELINE_MAX_BUCKET = 100
+
+
+def _verified_pairs_sql(
+    aug_sql: str = AUG_DOCS_SQL, max_bucket: int | None = None
+) -> str:
     """LSH-candidate pairs verified at Jaccard >= 0.8 over the doc set
     ``aug_sql`` — shared by the dd_jaccard_verified oracle, (as the edge
     list) the transitive clustering oracle, and (over the exact-survivor
-    set) the dedup-corpus oracle, so none of them can desynchronize."""
+    set) the dedup-corpus oracle, so none of them can desynchronize.
+    ``max_bucket`` models the Spark side's hot-bucket cap: buckets with
+    more than that many docs are dropped BEFORE pairing (a count window
+    over the same (band, band_hash) key)."""
+    band_src = "bandsl"
+    cap_cte = ""
+    if max_bucket:
+        cap_cte = f""",
+         bandc AS (SELECT doc_id, band, band_hash,
+                          count(*) OVER (PARTITION BY band, band_hash) AS _n
+                   FROM bandsl)"""
+        band_src = f"(SELECT doc_id, band, band_hash FROM bandc WHERE _n <= {max_bucket})"
     return f"""WITH aug AS ({aug_sql}),
-         sh AS (SELECT doc_id, {DD.shingle_sql('text')} AS sh FROM aug),
-         bandsl AS ({_minhash_bands_sql(aug_sql=aug_sql)}),
+         sh AS (SELECT doc_id, {DD.shingle_hashes_sql('text')} AS sh FROM aug),
+         bandsl AS ({_minhash_bands_sql(aug_sql=aug_sql)}){cap_cte},
          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                  FROM bandsl a JOIN bandsl b
+                  FROM {band_src} a JOIN {band_src} b
                     ON a.band = b.band AND a.band_hash = b.band_hash
                   WHERE a.doc_id < b.doc_id)
         SELECT doc_a, doc_b,
@@ -877,9 +901,9 @@ def _verified_pairs_sql(aug_sql: str = AUG_DOCS_SQL) -> str:
 _VERIFIED_PAIRS_SQL = _verified_pairs_sql()
 
 
-def _verified_pairs_df(spark, sf_dir) -> DataFrame:
+def _verified_pairs_df(spark, sf_dir, max_bucket: int | None = None) -> DataFrame:
     aug = _augmented_docs(_t(spark, sf_dir, "documents"))
-    cand = DD.minhash_lsh_candidates(aug, max_bucket=None)
+    cand = DD.minhash_lsh_candidates(aug, max_bucket=max_bucket)
     return DD.jaccard_pairs(aug, cand, threshold=0.8)
 
 
@@ -889,7 +913,12 @@ def dd_jaccard_verified(spark, sf_dir):
     return out.select("doc_a", "doc_b", _i6(F.col("jaccard")).alias("jaccard_i6"))
 
 
-@q("dd_cluster_keep_one", DD.cluster_keep_one_sql(_VERIFIED_PAIRS_SQL))
+@q(
+    "dd_cluster_keep_one",
+    DD.cluster_keep_one_sql(
+        _verified_pairs_sql(max_bucket=DD_PIPELINE_MAX_BUCKET)
+    ),
+)
 def dd_cluster_keep_one(spark, sf_dir):
     """Transitive near-dup clustering over the verified candidate pairs
     (VERDICT r7 task #2): alternating large-star/small-star connected
@@ -900,15 +929,21 @@ def dd_cluster_keep_one(spark, sf_dir):
     a recursive CTE over the SAME pairs SQL, so transitivity itself is
     value-checked (a 3-hop chain A~B~C must land A, B and C in one
     cluster even though A and C share no shingles — pinned by
-    tests/test_text_dedup.py as well)."""
-    pairs = _verified_pairs_df(spark, sf_dir)
+    tests/test_text_dedup.py as well). Runs the production hot-bucket cap
+    (DD_PIPELINE_MAX_BUCKET, modeled identically in the oracle's count
+    window): at sf0.01 the cap is a no-op, at sf0.1 it is the difference
+    between 163k and 1.36M candidate pairs."""
+    pairs = _verified_pairs_df(spark, sf_dir, max_bucket=DD_PIPELINE_MAX_BUCKET)
     return DD.cluster_keep_one(pairs)
 
 
 @q(
     "dd_dedup_corpus",
     DD.dedup_corpus_sql(
-        AUG_DOCS_SQL, _verified_pairs_sql("SELECT doc_id, text FROM surv")
+        AUG_DOCS_SQL,
+        _verified_pairs_sql(
+            "SELECT doc_id, text FROM surv", max_bucket=DD_PIPELINE_MAX_BUCKET
+        ),
     ),
 )
 def dd_dedup_corpus(spark, sf_dir):
@@ -920,7 +955,7 @@ def dd_dedup_corpus(spark, sf_dir):
     fingerprint, recursive-CTE closure), so each stage's attrition is
     value-checked, not just the final corpus size."""
     aug = _augmented_docs(_t(spark, sf_dir, "documents"))
-    return DD.dedup_corpus(aug, max_bucket=None)
+    return DD.dedup_corpus(aug, max_bucket=DD_PIPELINE_MAX_BUCKET)
 
 
 @q(

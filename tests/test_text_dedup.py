@@ -611,3 +611,51 @@ def test_filter_funnel_cross_engine_hypothesis(spark):
         assert got == want
 
     check()
+
+
+def test_dedup_twins_cross_engine_hypothesis(spark):
+    """Property: the three dedup fingerprint constructions the oracles
+    are built from — content fingerprint, char-shingle set, simhash —
+    agree value-by-value between engines on arbitrary printable-ASCII
+    text. These are the primitives every dd_* oracle composes, so a
+    divergence here is a latent oracle mismatch on some future corpus."""
+    pytest.importorskip("hypothesis")
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+    text = st.text(
+        alphabet=st.sampled_from(
+            list(
+                "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                "0123456789 \t\n.,;:!?@#$%^&*()[]{}|\\/\"'`~+-=_<>"
+            )
+        ),
+        max_size=60,
+    )
+
+    @given(st.lists(text, min_size=1, max_size=30))
+    @settings(max_examples=10, deadline=None)
+    def check(rows):
+        df = spark.createDataFrame([(t,) for t in rows], "text string")
+        got = [
+            (r["fp"], sorted(r["sh"]), r["sim"])
+            for r in df.select(
+                TX.doc_fingerprint("text").alias("fp"),
+                DD.shingle_expr("text").alias("sh"),
+                DD.simhash_expr("text").alias("sim"),
+            ).collect()
+        ]
+        want = [
+            (r[0], sorted(r[1]), r[2])
+            for r in con.execute(
+                f"SELECT {TX.doc_fingerprint_sql('text')},"
+                f" {DD.shingle_sql('text')}, {DD.simhash_sql('text')}"
+                " FROM (SELECT unnest($1::VARCHAR[]) AS text) t",
+                [rows],
+            ).fetchall()
+        ]
+        assert got == want
+
+    check()
