@@ -42,6 +42,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def session_source_bursts(
+    df: DataFrame,
+    event_time_col: str = "event_ts",
+    gap: str = "10 minutes",
+    watermark_delay: str = "5 minutes",
+) -> DataFrame:
+    """Per-source arrival BURSTS via session windows: consecutive
+    arrivals closer than ``gap`` merge into one session; a quiet period
+    longer than ``gap`` closes it. The session view answers the
+    monitoring question tumbling windows can't — "how long did this
+    source's ingest burst last, and how much landed in it" — without
+    picking a bucket size.
+
+    Works on batch (the test oracle) and streaming inputs; streaming
+    append mode emits a session once the watermark passes its close, and
+    session state is bounded the same way window state is. Scale shape:
+    session merging is a stateful aggregation keyed by source — the
+    exchange is the same hash-partition any groupBy(source) needs, and
+    open-session state is O(sources)."""
+    stream = df.isStreaming
+    if stream:
+        df = df.withWatermark(event_time_col, watermark_delay)
+    w = F.session_window(event_time_col, gap)
+    return (
+        df.groupBy(w.alias("s"), "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.min(event_time_col).alias("first_event"),
+            F.max(event_time_col).alias("last_event"),
+        )
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "source",
+            "n_seqs",
+            "first_event",
+            "last_event",
+        )
+    )
+
+
 def windowed_source_stats(
     df: DataFrame,
     event_time_col: str = "event_ts",

@@ -544,3 +544,96 @@ def test_stateful_source_totals_accumulate_across_batches_and_restarts(
         if nb >= last.get(src, (0,))[0]:
             last[src] = (nb, n, t)
     assert {s: (n, t) for s, (_, n, t) in last.items()} == oracle
+
+
+def test_session_source_bursts_batch_and_stream(spark, tmp_path):
+    """Session windows (streaming/windowed.py): arrivals closer than the
+    gap merge into one session per source, a quiet period closes it.
+    Batch run pins the merge semantics exactly; the streaming run (two
+    checkpointed availableNow triggers) must emit exactly the sessions
+    the watermark has closed, and they must MATCH the batch oracle's
+    rows for those sessions."""
+    import datetime as dt
+    import os as _os
+
+    from np_data_validation_spark.streaming.windowed import (
+        session_source_bursts,
+    )
+
+    base = dt.datetime(2026, 1, 1, 10, 0, 0)
+    schema = "doc_id string, event_ts timestamp, source string, n_tok int"
+
+    def rows(specs):
+        return [
+            (f"d{i}", base + dt.timedelta(minutes=m), s, 1)
+            for i, (m, s) in enumerate(specs)
+        ]
+
+    # srcA: burst at 10:00/10:04/10:08 (one session, gap 10min), then a
+    # separate burst at 10:30; srcB: single arrival at 10:05
+    all_specs = [(0, "srcA"), (4, "srcA"), (8, "srcA"), (30, "srcA"), (5, "srcB")]
+    batch = {
+        (r["session_start"].minute, r["source"]): (
+            r["n_seqs"],
+            r["first_event"].minute,
+            r["last_event"].minute,
+            r["session_end"].minute,
+        )
+        for r in session_source_bursts(
+            spark.createDataFrame(rows(all_specs), schema)
+        ).collect()
+    }
+    # session end = last event + gap; 10:18 and 10:40 wrap to minutes 18/40
+    assert batch == {
+        (0, "srcA"): (3, 0, 8, 18),
+        (30, "srcA"): (1, 30, 30, 40),
+        (5, "srcB"): (1, 5, 5, 15),
+    }
+
+    # streaming: run 1 delivers the first burst + srcB; run 2 delivers a
+    # 10:30 arrival that pushes the watermark to 10:25 — closing the
+    # 10:00-burst and srcB sessions but NOT the (still-open) 10:30 one
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    outp = str(tmp_path / "out")
+    _os.makedirs(landing)
+
+    def land(specs, mtime):
+        before = set(_os.listdir(landing))
+        spark.createDataFrame(rows(specs), schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        for f in set(_os.listdir(landing)) - before:
+            if f.endswith(".parquet"):
+                _os.utime(_os.path.join(landing, f), (mtime, mtime))
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(landing)
+        q = (
+            session_source_bursts(stream)
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    land([(0, "srcA"), (4, "srcA"), (8, "srcA"), (5, "srcB")], 1_700_000_000)
+    run()
+    land([(30, "srcA")], 1_700_000_100)
+    run()
+    streamed = {
+        (r["session_start"].minute, r["source"]): (
+            r["n_seqs"],
+            r["first_event"].minute,
+            r["last_event"].minute,
+            r["session_end"].minute,
+        )
+        for r in spark.read.parquet(outp).collect()
+    }
+    want_closed = {
+        k: v for k, v in batch.items() if k in {(0, "srcA"), (5, "srcB")}
+    }
+    assert streamed == want_closed
