@@ -252,20 +252,36 @@ def jaccard_pairs(
     The remaining per-pair cost is inherent set arithmetic — the scale
     lever is ``max_bucket`` capping the candidate count, not this
     kernel."""
-    sh = ensure_cpu_splits(docs).select(
-        F.col("doc_id"), shingle_hashes(text_col, n).alias("sh")
-    ).localCheckpoint(eager=True)
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sh = (
+        ensure_cpu_splits(docs)
+        .select(F.col("doc_id"), shingle_hashes(text_col, n).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+        .localCheckpoint(eager=True)
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    # |union| = n_a + n_b - |intersect| (exact on duplicate-free arrays;
+    # the hashed shingle sets are duplicate-free up to the ~1e-14
+    # collision caveat above, and the DuckDB twin uses the SAME formula,
+    # so the engines cannot diverge). This halves the per-pair set
+    # arithmetic: one array_intersect instead of intersect + union, and
+    # codegen subexpression elimination evaluates the repeated intersect
+    # once per projection.
+    i = F.size(F.array_intersect("sh_a", "sh_b"))
     out = (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
         .withColumn(
             "jaccard",
-            (
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
-            ).cast("double"),
+            (i / (F.col("n_a") + F.col("n_b") - i)).cast("double"),
         )
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -446,6 +462,20 @@ def simhash_near_dups(
 #: bound raises rather than returning partially-merged clusters.
 CC_MAX_ROUNDS = 25
 
+#: edge-count threshold below which the CC loop finishes with a single
+#: executor-side union-find instead of further star rounds. 1M edges is
+#: two id columns plus dict overhead — well under 1 GiB of task memory —
+#: while each avoided star round saves ~4 shuffle stages + a convergence
+#: job. Star rounds contract redundant edges (dense blobs, chains), so
+#: graphs whose components are small reach this regime fast — on
+#: small/medium pair sets (near-dup pairs after LSH + Jaccard verify are
+#: a sub-percent fraction of the corpus) it is hit immediately and the
+#: whole closure is one job. A giant component keeps >= members-1 edges
+#: forever; there the loop exits through the signature fixpoint exactly
+#: as before. Runtime size-adaptivity in the AQE spirit: the plan is
+#: picked from the OBSERVED edge count, not guessed.
+CC_LOCAL_EDGE_THRESHOLD = 1_000_000
+
 
 def _cc_canonical(edges: DataFrame) -> DataFrame:
     """Undirected edge set in canonical (u < v) form, self-loops dropped."""
@@ -486,11 +516,56 @@ def _cc_small_star(edges: DataFrame) -> DataFrame:
     return rewired.unionByName(self_edges)
 
 
+def _cc_local_finish(edges: DataFrame) -> DataFrame:
+    """Close the remaining components executor-side: one union-find over
+    the (bounded, counted-first) contracted edge set, emitting the final
+    star form (u = component-minimum root, v = member) the label join
+    expects. The sequential loop is the documented exception to the
+    no-per-row-Python rule: union-find has no vectorized form, the input
+    is capped at CC_LOCAL_EDGE_THRESHOLD rows by the caller, and it runs
+    in a TASK (mapInPandas over a coalesced partition), never on the
+    driver. Union order is (max-root -> min-root), so every root is its
+    component's minimum id — the same representative the star fixpoint
+    converges to."""
+    import pandas as pd
+
+    out_schema = edges.schema  # (u, v), input id types preserved
+
+    def fin(batches):
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a, b in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        stars: dict = {"u": [], "v": []}
+        for x in list(parent):
+            r = find(x)
+            if r != x:
+                stars["u"].append(r)
+                stars["v"].append(x)
+        if stars["u"]:
+            yield pd.DataFrame(stars)
+
+    return edges.coalesce(1).mapInPandas(fin, out_schema)
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_rounds: int = CC_MAX_ROUNDS,
+    local_edge_threshold: int = CC_LOCAL_EDGE_THRESHOLD,
 ) -> DataFrame:
     """Connected components over an undirected pair list via alternating
     large-star / small-star rewrites (Kiveris et al., "Connected
@@ -505,7 +580,21 @@ def connected_components(
     shuffles (a groupBy-min and a join back on the same key); each round
     is eagerly localCheckpoint-ed so lineage stays O(1) instead of
     O(rounds); convergence is decided from a 2-value checksum (count +
-    xxhash bit_xor), the only thing that ever reaches the driver."""
+    xxhash bit_xor), the only thing that ever reaches the driver.
+
+    Hybrid finish (r8): star rounds contract the graph; once the
+    observed edge count drops to ``local_edge_threshold`` the closure is
+    finished by ONE executor-side union-find task (_cc_local_finish)
+    instead of ~log(diameter) further rounds of 4 shuffle stages each —
+    at 100 TB the rounds do the heavy contraction (and a giant component
+    that never fits the threshold still converges via the signature
+    fixpoint as before), at bench/test scale the finisher replaces the
+    rounds outright (dedup_corpus sf0.1: the CC tail collapses from ~7
+    multi-shuffle rounds to one job). Star rounds
+    preserve every non-root node in the edge set (large-star keeps each
+    v>u attached to a min; small-star's self_edges keep each larger
+    endpoint), so finishing from an intermediate contracted set labels
+    exactly the nodes the fixpoint would."""
     # Checkpoint the INITIAL edge set too: ``pairs`` is typically the tail
     # of an expensive pipeline (MinHash -> banded LSH -> Jaccard verify),
     # and without this the first large-star (which references edges twice
@@ -519,6 +608,20 @@ def connected_components(
     )
     prev_sig = None
     for _ in range(max_rounds):
+        # bit_xor is order-independent and overflow-free (ANSI mode makes
+        # sum(xxhash64) raise on long overflow); the edge set is distinct,
+        # so xor cancellation of repeated rows cannot occur
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        if row["n"] <= local_edge_threshold:
+            edges = _cc_local_finish(edges)
+            break
+        if sig == prev_sig:
+            break
+        prev_sig = sig
         # eager localCheckpoint: materializes the round AND truncates
         # lineage, so round k+1's plan never re-derives rounds 1..k; the
         # checkpoint blocks of finished rounds are reclaimed by the
@@ -528,17 +631,6 @@ def connected_components(
         edges = _cc_canonical(
             _cc_small_star(_cc_large_star(edges))
         ).localCheckpoint(eager=True)
-        # bit_xor is order-independent and overflow-free (ANSI mode makes
-        # sum(xxhash64) raise on long overflow); the edge set is distinct,
-        # so xor cancellation of repeated rows cannot occur
-        row = edges.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        ).collect()[0]
-        sig = (row["n"], row["h"])
-        if sig == prev_sig:
-            break
-        prev_sig = sig
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"
@@ -552,13 +644,18 @@ def connected_components(
 
 
 def cluster_keep_one(
-    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    local_edge_threshold: int = CC_LOCAL_EDGE_THRESHOLD,
 ) -> DataFrame:
     """Keep-one policy over transitive near-dup clusters: every node in
     ``pairs`` labeled with its cluster representative (minimum reachable
     id) and ``keep = 1`` iff it IS the representative. The downstream
     dedup stage drops every keep = 0 doc."""
-    labels = connected_components(pairs, src, dst)
+    labels = connected_components(
+        pairs, src, dst, local_edge_threshold=local_edge_threshold
+    )
     return labels.select(
         F.col("id").alias("doc_id"),
         "cluster_rep",
@@ -668,6 +765,7 @@ def dedup_corpus_sql(docs_body: str, verified_pairs_over_surv: str) -> str:
                     WHEN l.keep = 0 THEN 'near'
                     ELSE 'keep' END AS drop_stage
         FROM fpx f LEFT JOIN lab l ON f.doc_id = l.doc_id"""
+
 
 
 def word_ngram_hashes_sql(expr: str, n: int = CONTAM_NGRAM_N) -> str:

@@ -892,10 +892,14 @@ def _verified_pairs_sql(
                     ON a.band = b.band AND a.band_hash = b.band_hash
                   WHERE a.doc_id < b.doc_id)
         SELECT doc_a, doc_b,
-               {I6.format(x="len(list_intersect(x.sh, y.sh)) * 1.0 / len(list_distinct(list_concat(x.sh, y.sh)))")} AS jaccard_i6
-        FROM cand JOIN sh x ON cand.doc_a = x.doc_id
-                  JOIN sh y ON cand.doc_b = y.doc_id
-        WHERE len(list_intersect(x.sh, y.sh)) * 1.0 / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.8"""
+               {I6.format(x="jc")} AS jaccard_i6
+        FROM (SELECT doc_a, doc_b,
+                     len(list_intersect(x.sh, y.sh)) /
+                       (len(x.sh) + len(y.sh)
+                        - len(list_intersect(x.sh, y.sh))) AS jc
+              FROM cand JOIN sh x ON cand.doc_a = x.doc_id
+                        JOIN sh y ON cand.doc_b = y.doc_id) j
+        WHERE jc >= 0.8"""
 
 
 _VERIFIED_PAIRS_SQL = _verified_pairs_sql()

@@ -280,7 +280,14 @@ def test_word_ngrams_cross_engine_tricky_strings(spark):
 # --- transitive near-dup clustering (VERDICT r7 task #2) --------------------
 
 
-def test_connected_components_chain_and_islands(spark):
+#: both CC execution paths: 0 forces the pure alternating-star fixpoint
+#: (every round shuffles), the default hits the executor-side union-find
+#: finisher immediately at test scale — results must be identical.
+CC_PATHS = [0, DD.CC_LOCAL_EDGE_THRESHOLD]
+
+
+@pytest.mark.parametrize("cc_thresh", CC_PATHS)
+def test_connected_components_chain_and_islands(spark, cc_thresh):
     """A 16-hop chain (forces multiple alternating-star rounds) plus a
     separate 2-node island must resolve to exactly two clusters, each
     labeled with its minimum id."""
@@ -290,7 +297,9 @@ def test_connected_components_chain_and_islands(spark):
     )
     out = {
         r["doc_id"]: (r["cluster_rep"], r["keep"])
-        for r in DD.cluster_keep_one(pairs).collect()
+        for r in DD.cluster_keep_one(
+            pairs, local_edge_threshold=cc_thresh
+        ).collect()
     }
     assert set(out) == set(range(100, 117)) | {5, 7}
     for i in range(100, 117):
@@ -300,9 +309,12 @@ def test_connected_components_chain_and_islands(spark):
     assert sum(k for _, k in out.values()) == 2
 
 
-def test_connected_components_empty_pairs(spark):
+@pytest.mark.parametrize("cc_thresh", CC_PATHS)
+def test_connected_components_empty_pairs(spark, cc_thresh):
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
-    assert DD.cluster_keep_one(pairs).count() == 0
+    assert (
+        DD.cluster_keep_one(pairs, local_edge_threshold=cc_thresh).count() == 0
+    )
 
 
 def test_cluster_keep_one_transitive_3hop_docs(spark):
@@ -333,16 +345,17 @@ def test_cluster_keep_one_transitive_3hop_docs(spark):
     assert out == {1: (1, 1), 2: (1, 0), 3: (1, 0)}
 
 
-def test_cluster_keep_one_matches_duckdb_recursive_cte(spark):
-    """Cross-engine parity on an irregular pair set: the alternating-star
-    fixpoint must agree with DuckDB's recursive-CTE transitive closure."""
+@pytest.mark.parametrize("cc_thresh", CC_PATHS)
+def test_cluster_keep_one_matches_duckdb_recursive_cte(spark, cc_thresh):
+    """Cross-engine parity on an irregular pair set: both CC paths must
+    agree with DuckDB's recursive-CTE transitive closure."""
     import duckdb
 
     pairs = [(1, 9), (9, 4), (4, 12), (20, 21), (21, 20), (30, 31), (31, 32), (7, 7)]
     df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
     got = sorted(
         (r["doc_id"], r["cluster_rep"], r["keep"])
-        for r in DD.cluster_keep_one(df).collect()
+        for r in DD.cluster_keep_one(df, local_edge_threshold=cc_thresh).collect()
     )
     con = duckdb.connect()
     con.execute("CREATE TABLE p (doc_a BIGINT, doc_b BIGINT)")
@@ -361,12 +374,33 @@ def test_cluster_keep_one_matches_duckdb_recursive_cte(spark):
     assert got == [(a, b, int(k)) for a, b, k in want]
 
 
+def test_connected_components_hybrid_midflight(spark):
+    """The hybrid boundary itself: a dense blob (K6, 15 edges) above the
+    threshold forces >= 1 alternating-star round, whose contraction
+    (K6 -> 5-edge star) then drops the count UNDER the threshold so the
+    executor-side finisher takes over mid-flight. Results must match the
+    closed form."""
+    import itertools
+
+    k6 = list(itertools.combinations(range(10, 16), 2))  # 15 edges
+    df = spark.createDataFrame(k6 + [(1, 2)], "doc_a long, doc_b long")
+    out = {
+        r["doc_id"]: (r["cluster_rep"], r["keep"])
+        for r in DD.cluster_keep_one(df, local_edge_threshold=8).collect()
+    }
+    want = {n: (10, int(n == 10)) for n in range(10, 16)}
+    want.update({1: (1, 1), 2: (1, 0)})
+    assert out == want
+
+
 @pytest.mark.parametrize("seed", [11, 23, 47])
-def test_connected_components_random_vs_union_find(spark, seed):
-    """Randomized equivalence: the alternating-star fixpoint must match a
-    plain union-find on arbitrary graph shapes — sparse edges, a dense
-    blob, and a hub star in one pair set (star contraction bugs tend to
-    hide in exactly one of those shapes)."""
+@pytest.mark.parametrize("cc_thresh", CC_PATHS)
+def test_connected_components_random_vs_union_find(spark, seed, cc_thresh):
+    """Randomized equivalence: both CC paths (star fixpoint and the
+    executor-side union-find finisher) must match a plain union-find on
+    arbitrary graph shapes — sparse edges, a dense blob, and a hub star
+    in one pair set (star contraction bugs tend to hide in exactly one
+    of those shapes)."""
     import random
 
     rng = random.Random(seed)
@@ -398,7 +432,7 @@ def test_connected_components_random_vs_union_find(spark, seed):
     df = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
     got = {
         r["doc_id"]: (r["cluster_rep"], r["keep"])
-        for r in DD.cluster_keep_one(df).collect()
+        for r in DD.cluster_keep_one(df, local_edge_threshold=cc_thresh).collect()
     }
     assert set(got) == set(want)
     for x, rep in want.items():
