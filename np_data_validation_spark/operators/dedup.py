@@ -31,6 +31,10 @@ from pyspark.sql import functions as F
 from np_data_validation_spark.functions.text import (
     doc_fingerprint,
     doc_fingerprint_sql,
+    filter_funnel,
+    filter_funnel_sql,
+    hash_sample_predicate,
+    hash_sample_predicate_sql,
     normalize_text,
     normalize_text_sql,
     portable_hash60,
@@ -715,6 +719,80 @@ def dedup_corpus(
     )
 
 
+def prepare_corpus(
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_bucket: int | None = 1000,
+    sample_ppm: int | None = None,
+    sample_salt: str = "",
+    contam_min_overlap: int = 1,
+) -> DataFrame:
+    """The full corpus-preparation pipeline, end to end: quality funnel ->
+    benchmark decontamination -> exact + near dedup -> deterministic
+    hash-sampling. Returns EVERY input doc labeled ``(doc_id,
+    disposition)`` with disposition one of the funnel reasons (``'lang' |
+    'short' | 'long' | 'quality' | 'repetition' | 'pii'``),
+    ``'contaminated'``, ``'exact'``, ``'near'``, ``'sampled_out'``, or
+    ``'keep'`` — each doc charged to the FIRST stage that rejects it, so
+    the whole pipeline's attrition is attributable stage by stage (the
+    training corpus is ``disposition = 'keep'``).
+
+    Stage ORDER is part of the contract and is the production order:
+    row-local filters first (cheapest, biggest kill rate), then the
+    broadcast decontamination join, then the shuffle-heavy dedup on the
+    smallest surviving set, then the pure-predicate sampler. Each stage
+    consumes only the previous stage's survivors.
+
+    Scale shape: the funnel and sampler are scan-shaped (zero shuffle);
+    decontamination broadcasts the eval shingle set (see
+    contamination_overlap); dedup_corpus documents its own shape. The
+    final label assembly is left joins on the unique doc_id key —
+    unskewed by construction. Reference anchor: the composed
+    validate-then-clear doctrine of /root/reference/data_validation.py
+    :728-734 (dedup-on-insert) + :1274-1284 (unique-hits reduction),
+    extended to the training-data funnel stages the reference predates."""
+    d0 = docs.select("doc_id", text_col)
+    fn = d0.withColumn("_funnel", filter_funnel(text_col))
+    s1 = fn.filter(F.col("_funnel") == "keep").select("doc_id", text_col)
+    contam_ids = None
+    s2 = s1
+    if eval_docs is not None:
+        contam_ids = (
+            contamination_overlap(
+                s1, eval_docs, text_col, min_overlap=contam_min_overlap
+            )
+            .select("doc_id")
+            .withColumn("_contam", F.lit(True))
+        )
+        s2 = s1.join(contam_ids.select("doc_id"), "doc_id", "left_anti")
+    dd = dedup_corpus(s2, text_col, threshold=threshold, max_bucket=max_bucket)
+    out = fn.select("doc_id", "_funnel")
+    if contam_ids is not None:
+        out = out.join(contam_ids, "doc_id", "left")
+    else:
+        out = out.withColumn("_contam", F.lit(None).cast("boolean"))
+    out = out.join(
+        dd.select("doc_id", F.col("drop_stage").alias("_dd")), "doc_id", "left"
+    )
+    sampled_out = (
+        ~hash_sample_predicate(F.col("doc_id"), sample_ppm, sample_salt)
+        if sample_ppm is not None
+        else F.lit(False)
+    )
+    return out.select(
+        "doc_id",
+        F.when(F.col("_funnel") != "keep", F.col("_funnel"))
+        .when(F.col("_contam"), F.lit("contaminated"))
+        .when(F.col("_dd") == "exact", F.lit("exact"))
+        .when(F.col("_dd") == "near", F.lit("near"))
+        .when(sampled_out, F.lit("sampled_out"))
+        .otherwise(F.lit("keep"))
+        .alias("disposition"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB twin SQL builders (for __spark_entry__ oracles)
 # ---------------------------------------------------------------------------
@@ -766,6 +844,69 @@ def dedup_corpus_sql(docs_body: str, verified_pairs_over_surv: str) -> str:
                     ELSE 'keep' END AS drop_stage
         FROM fpx f LEFT JOIN lab l ON f.doc_id = l.doc_id"""
 
+
+def contaminated_ids_sql(
+    corpus_body: str,
+    eval_body: str,
+    n: int = CONTAM_NGRAM_N,
+    min_overlap: int = 1,
+) -> str:
+    """DuckDB twin of contamination_overlap reduced to the contaminated
+    doc_id set (what prepare_corpus consumes). Shares word_ngram_hashes_sql
+    with the Spark side. CTE names are prefixed (bshq/cshq/exq) so the
+    builder nests safely inside other WITH scopes."""
+    return f"""WITH bshq AS (SELECT DISTINCT unnest({word_ngram_hashes_sql('text', n)}) AS sh
+                      FROM ({eval_body}) eb),
+         cshq AS (SELECT doc_id, {word_ngram_hashes_sql('text', n)} AS shs
+                  FROM ({corpus_body}) cb),
+         exq AS (SELECT doc_id, unnest(shs) AS sh FROM cshq)
+        SELECT doc_id FROM exq WHERE sh IN (SELECT sh FROM bshq)
+        GROUP BY doc_id HAVING count(*) >= {min_overlap}"""
+
+
+def prepare_corpus_sql(
+    docs_body: str,
+    verified_pairs_over_surv: str,
+    eval_body: str | None = None,
+    sample_ppm: int | None = None,
+    sample_salt: str = "",
+    contam_n: int = CONTAM_NGRAM_N,
+    contam_min_overlap: int = 1,
+) -> str:
+    """DuckDB twin of prepare_corpus: the same stage order over the same
+    shared builders (funnel CASE, contamination shingles, fingerprint
+    window, recursive closure, hash-sample predicate), so every stage of
+    the composed pipeline is value-checkable, not just the final corpus
+    size. ``verified_pairs_over_surv`` must be built over the table name
+    ``surv`` exactly as for dedup_corpus_sql."""
+    ct = (
+        contaminated_ids_sql(
+            "SELECT doc_id, text FROM ps1", eval_body, contam_n, contam_min_overlap
+        )
+        if eval_body is not None
+        else "SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1 = 0"
+    )
+    dd = dedup_corpus_sql("SELECT doc_id, text FROM ps2", verified_pairs_over_surv)
+    sampled = (
+        f" WHEN NOT ({hash_sample_predicate_sql('f.doc_id', str(sample_ppm), sample_salt)})"
+        " THEN 'sampled_out'"
+        if sample_ppm is not None
+        else ""
+    )
+    return f"""WITH p0 AS ({docs_body}),
+        fnx AS (SELECT doc_id, text, {filter_funnel_sql('text')} AS funnel FROM p0),
+        ps1 AS (SELECT doc_id, text FROM fnx WHERE funnel = 'keep'),
+        ctx AS ({ct}),
+        ps2 AS (SELECT doc_id, text FROM ps1
+                WHERE doc_id NOT IN (SELECT doc_id FROM ctx)),
+        ddx AS ({dd})
+        SELECT f.doc_id,
+               CASE WHEN f.funnel <> 'keep' THEN f.funnel
+                    WHEN f.doc_id IN (SELECT doc_id FROM ctx) THEN 'contaminated'
+                    WHEN d.drop_stage = 'exact' THEN 'exact'
+                    WHEN d.drop_stage = 'near' THEN 'near'{sampled}
+                    ELSE 'keep' END AS disposition
+        FROM fnx f LEFT JOIN ddx d ON f.doc_id = d.doc_id"""
 
 
 def word_ngram_hashes_sql(expr: str, n: int = CONTAM_NGRAM_N) -> str:

@@ -12,6 +12,12 @@
   hamming-1 neighbors), exact cosine re-rank on candidates only.
 * ``embedding_near_dups`` — near-duplicate pairs by cosine >= threshold,
   LSH-bucketed self-join (brute variant for small corpora / oracle use).
+* ``ivf_topk`` — the OTHER classic ANN scale path (inverted file):
+  deterministic hash-sampled centroids (+ optional distributed Lloyd
+  refinement), corpus partitioned by nearest-centroid cell, queries probe
+  their ``n_probe`` nearest cells, exact cosine re-rank on candidates
+  only. Complements hyperplane LSH: cells adapt to the data distribution
+  where LSH buckets are data-oblivious.
 """
 
 from __future__ import annotations
@@ -239,6 +245,146 @@ def lsh_topk_portable(
         F.explode(_hamming1_neighbors(F.col("bucket"), bits)).alias("bucket"),
     )
     cand = c.join(F.broadcast(q), "bucket").select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine_expr(vec_col, "_qvec").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the centroid-partitioned scale path
+# ---------------------------------------------------------------------------
+
+IVF_CELLS = 16
+IVF_PROBE = 4
+
+
+def _ivf_assign_udf(centroids: np.ndarray):
+    """Vectorized pandas UDF: embedding -> nearest-centroid cell id by
+    cosine (one numpy matmul per Arrow batch). Centroids are L2-normalized
+    once on the driver so argmax over raw dot products IS argmax over
+    cosine (|v| is constant within a row); ties resolve to the lowest cell
+    id (numpy argmax takes the first maximum) — deterministic."""
+    norms = np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    planes = (centroids / norms).astype(np.float32).T  # [dim, cells]
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy())  # [n, dim]
+        return pd.Series(np.argmax(mat @ planes, axis=1).astype(np.int32))
+
+    return assign
+
+
+def _ivf_probe_udf(centroids: np.ndarray, n_probe: int):
+    """Vectorized pandas UDF: embedding -> the ``n_probe`` nearest cell
+    ids (stable sort: ties resolve to the lowest cell id)."""
+    norms = np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    planes = (centroids / norms).astype(np.float32).T
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy())
+        order = np.argsort(-(mat @ planes), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return probe
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = IVF_CELLS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_rounds: int = 1,
+) -> np.ndarray:
+    """Deterministic IVF codebook. Seeds are the ``n_cells`` corpus
+    vectors with the smallest ``xxhash64(id)`` — the same deterministic
+    hash-sampling device as tx_hash_sample, so the codebook is
+    reproducible across re-runs, partitionings, and cluster sizes (no RNG,
+    no ordering dependence). Optional Lloyd refinement runs DISTRIBUTED:
+    assignment is the broadcast-matmul pandas UDF (one corpus scan per
+    round), per-cell elementwise means via posexplode + groupBy(cell, pos)
+    avg — a map-side-combined agg whose output is n_cells x dim rows.
+    Driver-side collects are bounded by construction: n_cells seed rows +
+    n_cells x dim mean cells per round (the codebook itself, which must
+    live on the driver to be broadcast). Empty cells keep their seed."""
+    seeds = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id")), F.col("_id"))
+        .limit(n_cells)
+        .collect()
+    )
+    cents = np.vstack([np.asarray(r["_v"], dtype=np.float64) for r in seeds])
+    for _ in range(lloyd_rounds):
+        assign = _ivf_assign_udf(cents)
+        means = (
+            corpus.select(
+                assign(F.col(vec_col)).alias("cell"),
+                F.posexplode(F.col(vec_col)).alias("pos", "val"),
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        nxt = cents.copy()
+        touched = set()
+        for r in means:
+            nxt[r["cell"], r["pos"]] = r["m"]
+            touched.add(r["cell"])
+        if not touched:
+            break
+        cents = nxt
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_cells: int = IVF_CELLS,
+    n_probe: int = IVF_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_rounds: int = 1,
+) -> DataFrame:
+    """Approximate top-k via an inverted file: corpus rows carry their
+    nearest-centroid cell, queries explode to their ``n_probe`` nearest
+    cells, candidates = corpus rows in a probed cell, exact cosine re-rank
+    on candidates only (expected fraction scanned ~ n_probe / n_cells).
+
+    Scale shape (100 TB): the codebook is tiny (n_cells x dim floats,
+    broadcast inside the assign/probe UDFs); the corpus is scanned ONCE
+    for assignment per Lloyd round plus once for search and never
+    shuffled — the query side (small) explodes x n_probe and broadcasts,
+    exactly like lsh_topk. In a persisted deployment the assignment scan
+    is amortized: write the corpus bucketed/partitioned BY cell once, and
+    every later query batch prunes to n_probe partitions (partition
+    pruning does the candidate filtering at the scan). n_cells scales as
+    ~sqrt(corpus_rows) (the classic IVF balance point between codebook
+    scan and cell scan); here it defaults small because the test corpus
+    is 500 rows.
+
+    (``dim`` is kept for signature symmetry with lsh_topk; the codebook
+    infers it from the data.)"""
+    del dim  # inferred from the seed vectors
+    cents = ivf_centroids(corpus, n_cells, id_col, vec_col, lloyd_rounds)
+    c = corpus.withColumn("_cell", _ivf_assign_udf(cents)(F.col(vec_col)))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(_ivf_probe_udf(cents, n_probe)(F.col(vec_col))).alias("_cell"),
+    )
+    cand = c.join(F.broadcast(q), "_cell").select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
         cosine_expr(vec_col, "_qvec").alias("cosine"),

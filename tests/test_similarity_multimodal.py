@@ -68,6 +68,73 @@ def test_lsh_topk_recovers_planted_neighbors(spark, emb):
     assert (approx["rank"] == 1).all()
 
 
+def test_ivf_topk_recovers_planted_neighbors(spark, emb):
+    """Same planted-neighbor gate as the LSH variant, for the IVF path:
+    noisy copies at cosine ~0.99 must come back as top-1 when the query
+    probes its 4 nearest of 16 cells. A query and its noisy copy land in
+    the same (or an adjacent) cell because cells partition by cosine —
+    the property IVF is built on."""
+    import pandas as pd
+
+    base = emb.filter(F.col("vec_id") < 10).toPandas()
+    rng = np.random.default_rng(3)
+    noisy = []
+    for _, r in base.iterrows():
+        v = np.array(r["embedding"], dtype=np.float32)
+        v = v + rng.standard_normal(DIM).astype(np.float32) * 0.02 * np.abs(v).mean()
+        noisy.append((int(r["vec_id"]) + 50000, v.tolist(), 0))
+    aug = emb.unionByName(
+        spark.createDataFrame(
+            pd.DataFrame(noisy, columns=["vec_id", "embedding", "label"]),
+            "vec_id long, embedding array<float>, label int",
+        )
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = SIM.ivf_topk(aug, queries, dim=DIM, k=1).toPandas()
+    top1 = dict(zip(approx["query_id"], approx["neighbor_id"]))
+    hits = sum(1 for q in range(10) if top1.get(q) == q + 50000)
+    assert hits >= 8, f"IVF planted-neighbor recall {hits}/10"
+    assert set(approx["query_id"]) == set(range(10))
+    assert (approx["rank"] == 1).all()
+
+
+def test_ivf_codebook_deterministic_and_small_corpus(spark, emb):
+    """The hash-sampled codebook must be bit-identical across invocations
+    (no RNG, no ordering dependence), and n_cells > corpus size must
+    degrade gracefully to one cell per row."""
+    c1 = SIM.ivf_centroids(emb, n_cells=8, lloyd_rounds=1)
+    c2 = SIM.ivf_centroids(emb, n_cells=8, lloyd_rounds=1)
+    assert c1.shape == (8, DIM)
+    assert np.array_equal(c1, c2)
+    tiny = emb.filter(F.col("vec_id") < 5)
+    cs = SIM.ivf_centroids(tiny, n_cells=16, lloyd_rounds=0)
+    assert cs.shape == (5, DIM)
+    # search still works with a degenerate codebook
+    out = SIM.ivf_topk(tiny, tiny.limit(2), dim=DIM, k=2, n_cells=16).toPandas()
+    assert len(out) == 4  # 2 queries x k=2 (4 non-self candidates each)
+
+
+def test_ivf_topk_subset_of_brute(spark, emb):
+    """Structural gate: every IVF result row must be a genuine corpus
+    neighbor with the exact cosine brute force computes for that pair
+    (candidates-only search changes WHICH rows are returned, never their
+    scores), and per-query ranks must be dense from 1."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    ivf = SIM.ivf_topk(emb, queries, dim=DIM, k=3).toPandas()
+    brute = SIM.brute_force_topk(emb, queries, k=500).toPandas()
+    truth = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for _, r in brute.iterrows()
+    }
+    assert len(ivf) == 15
+    for _, r in ivf.iterrows():
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in truth
+        assert r["cosine"] == pytest.approx(truth[key], abs=1e-9)
+    for q in range(5):
+        assert sorted(ivf[ivf["query_id"] == q]["rank"]) == [1, 2, 3]
+
+
 def test_embedding_near_dups(spark, emb):
     # plant two exact duplicates and one noisy copy
     dup = emb.filter(F.col("vec_id").isin([0, 1])).withColumn(

@@ -510,6 +510,128 @@ def test_dedup_corpus_matches_duckdb_twin(spark):
     assert dict(want)[10] == "exact"
 
 
+# ---------------------------------------------------------------------------
+# prepare_corpus: the full composed corpus-preparation pipeline
+# ---------------------------------------------------------------------------
+
+#: funnel-passing English fixtures (>=100 chars, >=20 tokens,
+#: stopword-rich, low punct/digit/repetition); BASE/EV/UNIQ share ZERO
+#: word 4-grams pairwise (checked offline), so contamination can only
+#: come from the planted leak
+_PC_BASE = (
+    "the quick brown fox jumps over a lazy dog and it is said that every "
+    "word of this long winding sentence keeps to the point and it is the "
+    "case that the text reads well and the quality of it is high in all "
+    "of the ways that matter to the filter"
+)
+_PC_EV = (
+    "a small boat sails on the wide river while the wind from the north is "
+    "cold for the crew that it carries and the water stays calm as the sky "
+    "of the evening turns red above that quiet place where the lanterns "
+    "glow warm against the coming night"
+)
+_PC_UNIQ = (
+    "in the garden of the old stone house the children played a game that "
+    "no one of them had ever lost and it was the kind of day that seems "
+    "to last forever with the sun warm in the branches and the sound of "
+    "the bells faint over the hill"
+)
+
+_PC_ROWS = [
+    (1, _PC_BASE),  # dedup cluster rep -> reaches sampling
+    (2, _PC_BASE),  # exact dup of 1
+    (3, _PC_BASE[5:]),  # near dup of 1 (char-5-gram jaccard ~0.99)
+    (4, "zzz qqq vvv kkk www yyy hhh jjj"),  # no stopwords -> 'lang'
+    (5, "the cat is in it"),  # en but 5 tokens -> 'short'
+    (6, _PC_BASE + " contact me at bob@example.com"),  # 'pii' BEFORE dedup
+    (7, _PC_EV[10:]),  # eval leak -> 'contaminated'
+    (8, _PC_EV[10:]),  # exact dup OF a leak -> still 'contaminated'
+    (9, ("the fox ran fast " * 15).strip()),  # 'repetition' (ratio ~0.93)
+    (10, _PC_UNIQ),  # independent keeper -> reaches sampling
+]
+
+
+def test_prepare_corpus_stage_semantics(spark):
+    """Every disposition class lands on its planted doc, in the contract
+    stage order: doc 6 is BOTH a PII doc and a would-be near-dup of 1 and
+    must be charged 'pii' (funnel runs first); docs 7/8 are identical
+    leaks and BOTH read 'contaminated' (decontamination runs before the
+    exact pass, so neither is 'exact'); sampling (500000 ppm, salt '')
+    deterministically drops doc 1 and keeps doc 10 (md5 predicate
+    computed offline) and only ever applies to dedup survivors."""
+    docs = spark.createDataFrame(_PC_ROWS, "doc_id long, text string")
+    ev = spark.createDataFrame([(100, _PC_EV)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["disposition"]
+        for r in DD.prepare_corpus(
+            docs, eval_docs=ev, max_bucket=None, sample_ppm=500000
+        ).collect()
+    }
+    assert got == {
+        1: "sampled_out",
+        2: "exact",
+        3: "near",
+        4: "lang",
+        5: "short",
+        6: "pii",
+        7: "contaminated",
+        8: "contaminated",
+        9: "repetition",
+        10: "keep",
+    }
+
+
+def test_prepare_corpus_optional_stages_off(spark):
+    """Without an eval suite and without sampling, the leak docs fall
+    through to plain dedup (7 keeps, its copy 8 drops 'exact') and the
+    survivors read 'keep'."""
+    docs = spark.createDataFrame(_PC_ROWS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["disposition"]
+        for r in DD.prepare_corpus(docs, max_bucket=None).collect()
+    }
+    assert got[7] == "keep" and got[8] == "exact"
+    assert got[1] == "keep" and got[10] == "keep"
+    assert got[2] == "exact" and got[3] == "near"
+
+
+def test_prepare_corpus_matches_duckdb_twin(spark):
+    """Cross-engine parity of the FULL composed pipeline (funnel ->
+    decontamination -> exact/near dedup -> sampling) doc by doc: both
+    engines build every stage from the shared constant set, so a drift in
+    any stage fails here."""
+    import duckdb
+
+    from np_data_validation_spark.queries import _verified_pairs_sql
+
+    docs = spark.createDataFrame(_PC_ROWS, "doc_id long, text string")
+    ev = spark.createDataFrame([(100, _PC_EV)], "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["disposition"])
+        for r in DD.prepare_corpus(
+            docs, eval_docs=ev, max_bucket=None, sample_ppm=500000
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", _PC_ROWS)
+    con.execute("CREATE TABLE e (doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO e VALUES (100, ?)", [_PC_EV])
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            DD.prepare_corpus_sql(
+                "SELECT doc_id, text FROM d",
+                _verified_pairs_sql("SELECT doc_id, text FROM surv"),
+                eval_body="SELECT doc_id, text FROM e",
+                sample_ppm=500000,
+            )
+        ).fetchall()
+    )
+    assert got == want
+    assert len(want) == len(_PC_ROWS)
+
+
 def test_filter_funnel_matches_duckdb_twin(spark, docs):
     """The composed quality-filter funnel: per-doc first-rejection-reason
     labels must agree with the DuckDB twin doc by doc at sf0.001 (with
