@@ -279,15 +279,43 @@ def jaccard_pairs(
     # arithmetic: one array_intersect instead of intersect + union, and
     # codegen subexpression elimination evaluates the repeated intersect
     # once per projection.
-    i = F.size(F.array_intersect("sh_a", "sh_b"))
-    out = (
-        pairs.join(a, "doc_a")
-        .join(b, "doc_b")
-        .withColumn(
-            "jaccard",
-            (i / (F.col("n_a") + F.col("n_b") - i)).cast("double"),
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    if threshold > 0:
+        # Lossless size prefilter ahead of the expensive intersect:
+        # J = i/(n_a+n_b-i) and i <= min imply J <= min/max, so any pair
+        # with min(n_a,n_b) < t*max(n_a,n_b) cannot reach the threshold.
+        # Two long comparisons per pair vs the set arithmetic — kills 57%
+        # of the capped LSH candidates at sf0.1 (163k -> 69k, measured
+        # r8) without changing a single output row, so the DuckDB twin
+        # needs no mirror (same results either way). Catalyst inlines
+        # this into the join condition, which is exactly right for a
+        # cheap long comparison.
+        joined = joined.filter(
+            F.least("n_a", "n_b") >= F.lit(threshold) * F.greatest("n_a", "n_b")
         )
-        .select("doc_a", "doc_b", "jaccard")
+    # Generate barrier (same device as contamination_overlap's
+    # explode_outer): materialize |intersect| as a generated attribute so
+    # the downstream jaccard >= threshold filter CANNOT be pushed into
+    # the join condition. Without it Catalyst substitutes the alias and
+    # inlines the full jaccard formula into the BroadcastHashJoin
+    # condition — array_intersect then runs twice per candidate pair in
+    # the condition plus twice in the projection (read from the r8
+    # formatted plan); with the barrier it runs exactly ONCE per
+    # size-passing pair and the threshold filter touches only the slim
+    # generated long.
+    scored = joined.select(
+        "doc_a",
+        "doc_b",
+        "n_a",
+        "n_b",
+        F.explode(F.array(F.size(F.array_intersect("sh_a", "sh_b")))).alias("_i"),
+    )
+    out = scored.select(
+        "doc_a",
+        "doc_b",
+        (F.col("_i") / (F.col("n_a") + F.col("n_b") - F.col("_i")))
+        .cast("double")
+        .alias("jaccard"),
     )
     return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
 
