@@ -27,6 +27,7 @@ HEADLINE = [
     "dd_simhash_values",
     "dd_contamination",
     "dd_dedup_corpus",
+    "dd_prepare_corpus",
     "sim_cosine_topk",
     "udf_xxhash_tokens",
 ]
@@ -230,7 +231,47 @@ def main() -> None:
                 big["rows_per_sec"] / job["rows_per_sec"], 3
             ),
         }
-    print(json.dumps(out))
+    # The driver records only a ~2 KB stdout TAIL and parses the last JSON
+    # line in it — BENCH_r07's line (with per-query steal telemetry) grew
+    # past the cap and was clipped mid-line ("parsed": null, headline lost).
+    # So: full detail goes to a file; stdout gets a compact line that is
+    # guaranteed to fit, carrying the headline + per-query seconds + the
+    # qualification stats and a pointer to the detail file.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "bench_detail_latest.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+    except OSError:
+        detail_path = None
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "cpus": out["cpus"],
+        "queries": out["queries"],
+        "validated_seq_per_sec": out["validated_seq_per_sec"],
+        "validate_stat": out["validate_stat"],
+        "validate_qualified_reps": out["validate_qualified_reps"],
+        "plan_check": plan_check.get("status"),
+        "detail": detail_path,
+    }
+    if big is not None:
+        compact["big_run"] = {
+            "rows": out["big_run"]["rows"],
+            "seq_per_sec": out["big_run"]["seq_per_sec"],
+            "stat": out["big_run"]["stat"],
+            "qualified_reps": out["big_run"]["qualified_reps"],
+            "seq_per_sec_vs_headline": out["big_run"]["seq_per_sec_vs_headline"],
+        }
+    line = json.dumps(compact)
+    if len(line) > 1900 and detail_path:
+        # belt-and-braces: shed the per-query dict before the headline
+        compact["queries"] = f"see {detail_path}"
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

@@ -1488,11 +1488,33 @@ def streaming_verdict_rollup(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def dd_prepare_corpus(spark, sf_dir):
+    """The full corpus-preparation composition (quality funnel ->
+    benchmark decontamination -> exact/near dedup -> deterministic
+    900000-ppm sampling) over the augmented documents, eval suite =
+    doc_id % 17 == 0. Bench-timed only (the 50-entry driver contract is
+    full); its values are cross-engine-checked doc by doc against
+    DD.prepare_corpus_sql in tests/test_text_dedup.py, and every stage it
+    composes carries its own green driver oracle (filter signals via
+    tx_*, contamination via dd_contamination, dedup via
+    dd_dedup_corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 17 == 0).select("doc_id", "text")
+    return DD.prepare_corpus(
+        _augmented_docs(docs),
+        eval_docs=ev,
+        max_bucket=DD_PIPELINE_MAX_BUCKET,
+        sample_ppm=900000,
+    )
+
+
 #: timed by bench.py but NOT part of the <=50-entry driver contract (see
 #: udf_xxhash_tokens docstring — its values are driver-checked via the
-#: registered udf_xxhash_golden twin)
+#: registered udf_xxhash_golden twin; dd_prepare_corpus is cross-engine
+#: pytest-checked, see its docstring)
 BENCH_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udf_xxhash_tokens": udf_xxhash_tokens,
+    "dd_prepare_corpus": dd_prepare_corpus,
 }
 
 
