@@ -169,9 +169,20 @@ def main() -> None:
         big_rows = int(os.environ.get("NPDV_BENCH_BIG_ROWS", "48000000"))
         big_reps = int(os.environ.get("NPDV_BENCH_BIG_REPS", "3"))
         big_root = benchlib.ensure_bench_data(big_rows)
-        big = benchlib.warm_median(
-            benchlib.run_validation_reps(spark, big_root, reps=big_reps)
+        # same retry-until-qualified doctrine as the headline (r7's big
+        # run had 0 qualified reps; r8's first run 1/2 — at ~2 min/rep a
+        # bounded extension is cheaper than an unqualified artifact).
+        # Retries capped at 1 below the headline's: the big run is
+        # corroborating evidence, not the reported number.
+        big_series, big_retries = benchlib.run_validation_reps_until_qualified(
+            spark,
+            big_root,
+            reps=big_reps,
+            retries=max(0, steal_retries - 1),
+            retry_reps=1,
         )
+        big = benchlib.warm_median(big_series)
+        big["retries_used"] = big_retries
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -220,6 +231,7 @@ def main() -> None:
             # (median over ALL reps).
             "stat": big["stat"],
             "qualified_reps": big["qualified_reps"],
+            "retries_used": big["retries_used"],
             "all_gc_ms": big["all_gc_ms"],
             "all_steal_ms": big["all_steal_ms"],
             "all_canary_sec": big["all_canary_sec"],

@@ -780,9 +780,25 @@ def prepare_corpus(
     unskewed by construction. Reference anchor: the composed
     validate-then-clear doctrine of /root/reference/data_validation.py
     :728-734 (dedup-on-insert) + :1274-1284 (unique-hits reduction),
-    extended to the training-data funnel stages the reference predates."""
+    extended to the training-data funnel stages the reference predates.
+
+    The funnel stage is materialized ONCE (eager localCheckpoint, after
+    ensure_cpu_splits so an undersplit scan can't single-thread it):
+    downstream the frame is referenced by the contamination scan, the
+    anti-join, three lineage paths inside dedup_corpus, and the final
+    label join — without the barrier each reference re-evaluates the
+    funnel CASE (the most expensive row-local expression in the engine)
+    over the raw input, measured 6x = 155 s vs 7 s at sf0.1. A cluster
+    deployment makes the same move durably: each pipeline stage's
+    survivors are a materialized intermediate table, not a re-derivable
+    view. The contaminated id set (slim, two columns) is likewise
+    materialized: it feeds both the anti-join and the label CASE."""
     d0 = docs.select("doc_id", text_col)
-    fn = d0.withColumn("_funnel", filter_funnel(text_col))
+    fn = (
+        ensure_cpu_splits(d0)
+        .withColumn("_funnel", filter_funnel(text_col))
+        .localCheckpoint(eager=True)
+    )
     s1 = fn.filter(F.col("_funnel") == "keep").select("doc_id", text_col)
     contam_ids = None
     s2 = s1
@@ -793,6 +809,7 @@ def prepare_corpus(
             )
             .select("doc_id")
             .withColumn("_contam", F.lit(True))
+            .localCheckpoint(eager=True)
         )
         s2 = s1.join(contam_ids.select("doc_id"), "doc_id", "left_anti")
     dd = dedup_corpus(s2, text_col, threshold=threshold, max_bucket=max_bucket)
