@@ -118,11 +118,6 @@ for i in range(reps):
     r["steal_ms"] = (s1 - s0) if (s0 is not None and s1 is not None) else None
     r["shm_mb_after"] = dir_mb(shuffle_dir)
     r["steal_qualified"] = benchlib.steal_qualified(r)
-    # second qualification budget (VERDICT r7 task #3): the pre-rep
-    # bandwidth canary must be within 1.15x the calm baseline — steal
-    # telemetry cannot see co-tenant memory-bandwidth pressure
-    r["canary_qualified"] = benchlib.canary_qualified(r)
-    r["qualified"] = r["steal_qualified"] and r["canary_qualified"]
     results.append(r)
     spark.catalog.clearCache()  # plan-matched cache reuse would fake repeat runs
     # Inter-run hygiene: shuffle files on tmpfs are only reclaimed when the
@@ -132,6 +127,19 @@ for i in range(reps):
     # cluster, whose executors GC continuously, does not see).
     spark._jvm.System.gc()
     time.sleep(1)
+# second qualification budget (VERDICT r7 task #3): bandwidth canaries
+# bracket each rep (pre-canary + the next rep's pre-canary / a trailing
+# probe) and the rep is bandwidth-vetoed only when BOTH sides blew the
+# 1.15x-calm budget — see benchlib.canary_qualified for the sandwich
+# rationale; qualification is therefore computed after the loop
+c_end = benchlib.memory_canary_sec()
+for i, r in enumerate(results):
+    if i + 1 < len(results):
+        r["canary_after_sec"] = results[i + 1]["canary_sec"]
+    else:
+        r["canary_after_sec"] = round(c_end, 3) if c_end is not None else None
+    r["canary_qualified"] = benchlib.canary_qualified(r)
+    r["qualified"] = r["steal_qualified"] and r["canary_qualified"]
 # The round's estimate is its best STEAL-QUALIFIED rep: a rep whose
 # host-steal exceeded the budget ran against fewer cores than it was
 # pinned to and measures the host, not the engine (VERDICT r5 task #1).
@@ -146,6 +154,7 @@ best["all_sec"] = [round(r["sec"], 2) for r in results]
 best["all_gc_ms"] = [r["gc_ms"] for r in results]
 best["all_steal_ms"] = [r["steal_ms"] for r in results]
 best["all_canary_sec"] = [r["canary_sec"] for r in results]
+best["all_canary_after_sec"] = [r["canary_after_sec"] for r in results]
 best["all_shm_mb"] = [r["shm_mb_after"] for r in results]
 best["all_qualified"] = [r["qualified"] for r in results]
 best["all_steal_qualified"] = [r["steal_qualified"] for r in results]

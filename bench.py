@@ -213,6 +213,10 @@ def main() -> None:
         # inflated values attribute a qualified-but-slow rep to co-tenant
         # memory-bandwidth pressure that steal telemetry cannot see
         "validate_all_canary_sec": job["all_canary_sec"],
+        # rep i's after-probe = rep i+1's pre-canary (trailing probe for
+        # the last); bandwidth vetoes need BOTH sides blown (sandwich
+        # rule, benchlib.canary_qualified)
+        "validate_all_canary_after_sec": job["all_canary_after_sec"],
         "validate_all_tmpfs_mb": job["all_tmpfs_mb"],
         "validate_all_shuffle_mb": job["all_shuffle_mb"],
         "cpus": cpus,
@@ -235,6 +239,7 @@ def main() -> None:
             "all_gc_ms": big["all_gc_ms"],
             "all_steal_ms": big["all_steal_ms"],
             "all_canary_sec": big["all_canary_sec"],
+            "all_canary_after_sec": big["all_canary_after_sec"],
             "all_tmpfs_mb": big["all_tmpfs_mb"],
             "all_shuffle_mb": big["all_shuffle_mb"],
             "phases": big["phases"],

@@ -139,15 +139,33 @@ def canary_budget_sec() -> float:
 
 
 def canary_qualified(rep: dict) -> bool:
-    """True iff the rep's pre-rep bandwidth canary is within budget
-    (``canary_sec <= CANARY_BUDGET_RATIO * CANARY_CALM_SEC``). A rep with
-    no canary telemetry (canary disabled, numpy missing, or a pre-canary
-    saved result) is treated as qualified — same can-only-enforce-what-
-    was-measured doctrine as steal_qualified."""
-    c = rep.get("canary_sec")
-    if c is None:
+    """Sandwich bandwidth qualification: the rep passes iff the BEST of
+    its bracketing canaries (``canary_sec`` run just before the rep,
+    ``canary_after_sec`` = the next rep's pre-canary or the series'
+    trailing canary) is within budget
+    (``min <= CANARY_BUDGET_RATIO * CANARY_CALM_SEC``).
+
+    Before-only vetoing threw away honest reps: the host's bandwidth
+    waves are short relative to a 70-120 s rep, so a wave that ends just
+    as the rep starts leaves an inflated pre-canary next to the fastest
+    wall time of the series (measured on the r8 48M run: pre-canary
+    1.611 s vetoed a 71.7 s rep whose post-canary was 0.579 s — calm).
+    A wave is charged to the rep only when it is visible on BOTH sides;
+    a burst strictly inside the rep is invisible to any bracketing probe
+    and remains the fixed-cost residual's to expose. A rep with no
+    canary telemetry at all (canary disabled, numpy missing, or a saved
+    result predating the feature) is treated as qualified — same
+    can-only-enforce-what-was-measured doctrine as steal_qualified;
+    saved gate reps carrying only the pre-canary keep the old
+    before-only semantics."""
+    vals = [
+        v
+        for v in (rep.get("canary_sec"), rep.get("canary_after_sec"))
+        if v is not None
+    ]
+    if not vals:
         return True
-    return c <= canary_budget_sec()
+    return min(vals) <= canary_budget_sec()
 
 
 def rep_qualified(rep: dict, budget_frac: float | None = None) -> bool:
@@ -306,7 +324,16 @@ def run_validation_reps(
             r["tmpfs_mb_after"] = 0
         r["shuffle_mb_after"] = sum(_dir_mb(d) for d in shuffle_dirs)
         results.append(r)
+    # trailing canary: closes the sandwich for the LAST rep (every other
+    # rep's "after" probe is the next rep's pre-canary) — see
+    # canary_qualified for why bandwidth vetoes need both sides
+    c_end = memory_canary_sec()
     release_canary()
+    for i, r in enumerate(results):
+        if i + 1 < len(results):
+            r["canary_after_sec"] = results[i + 1]["canary_sec"]
+        else:
+            r["canary_after_sec"] = round(c_end, 3) if c_end is not None else None
     return results
 
 
@@ -402,7 +429,8 @@ def warm_median(results: list[dict], budget_frac: float | None = None) -> dict:
 
     * ``median_steal_qualified`` — median over the warm reps that met
       BOTH budgets: host-steal within ``STEAL_BUDGET_FRAC`` of wall AND
-      the pre-rep bandwidth canary within ``CANARY_BUDGET_RATIO`` x calm
+      the bracketing bandwidth canaries within ``CANARY_BUDGET_RATIO``
+      x calm (sandwich rule — see canary_qualified)
       (VERDICT r7 task #3; the normal calm-host case: all warm reps
       qualify and this equals the old warm median);
     * ``median_steal_unmeasured`` — every covered rep had NO steal
@@ -472,6 +500,7 @@ def warm_median(results: list[dict], budget_frac: float | None = None) -> dict:
     med["all_gc_ms"] = [r.get("gc_ms") for r in results]
     med["all_steal_ms"] = [r.get("steal_ms") for r in results]
     med["all_canary_sec"] = [r.get("canary_sec") for r in results]
+    med["all_canary_after_sec"] = [r.get("canary_after_sec") for r in results]
     med["all_tmpfs_mb"] = [r.get("tmpfs_mb_after") for r in results]
     med["all_shuffle_mb"] = [r.get("shuffle_mb_after") for r in results]
     med["steal_budget_frac"] = frac

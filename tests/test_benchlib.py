@@ -411,3 +411,72 @@ def test_run_validation_reps_until_qualified_retries_bounded(monkeypatch):
     assert benchlib.warm_median(results)["stat"].startswith(
         "median_warm_no_qualified_rep_steal"
     )
+
+
+def test_canary_sandwich_vetoes_only_when_both_sides_blown(monkeypatch):
+    """r8: bandwidth waves are short relative to a long rep, so a blown
+    PRE-canary next to a calm POST-canary (= the next rep's pre-canary)
+    must not veto the rep — the measured case was the 48M run's fastest
+    warm rep (71.7 s, steal within budget) sitting behind a 1.611 s
+    pre-canary with a 0.579 s probe right after it."""
+    monkeypatch.setattr(benchlib, "CANARY_CALM_SEC", 0.60)
+    monkeypatch.setattr(benchlib, "CANARY_BUDGET_RATIO", 1.15)
+    r = _crep(71.7, 3000, 1.611)
+    r["canary_after_sec"] = 0.579  # wave ended before the rep started
+    assert benchlib.canary_qualified(r)
+    r["canary_after_sec"] = 1.4  # wave visible on BOTH sides -> vetoed
+    assert not benchlib.canary_qualified(r)
+    r["canary_after_sec"] = None  # no after probe -> before-only semantics
+    assert not benchlib.canary_qualified(r)
+    ok = _crep(10.0, 0, 0.58)
+    ok["canary_after_sec"] = 2.0  # wave started after the rep ended
+    assert benchlib.canary_qualified(ok)
+
+
+def test_run_validation_reps_chains_canary_after(monkeypatch):
+    """run_validation_reps must close the sandwich: rep i's after-probe is
+    rep i+1's pre-canary; the last rep gets a trailing probe."""
+    pre = iter([0.60, 1.50, 0.58, 0.99])  # 3 pre-canaries + 1 trailing
+
+    monkeypatch.setattr(
+        benchlib, "memory_canary_sec", lambda *a, **k: next(pre)
+    )
+    monkeypatch.setattr(
+        benchlib,
+        "run_validation_job",
+        lambda spark, root, hash_method="pandas_udf": {
+            "sec": 10.0,
+            "rows_per_sec": 1.0,
+        },
+    )
+    monkeypatch.setattr(benchlib, "_gc_ms", lambda spark: 0)
+    monkeypatch.setattr(benchlib, "_steal_ms", lambda: 0)
+
+    class _FakeSpark:
+        class catalog:
+            @staticmethod
+            def clearCache():
+                pass
+
+        class _jvm:
+            class System:
+                @staticmethod
+                def gc():
+                    pass
+
+        class sparkContext:
+            @staticmethod
+            def getConf():
+                class C:
+                    @staticmethod
+                    def get(k, d=""):
+                        return ""
+
+                return C()
+
+    import time as _t
+
+    monkeypatch.setattr(_t, "sleep", lambda s: None)
+    reps = benchlib.run_validation_reps(_FakeSpark, "/nowhere", reps=3)
+    assert [r["canary_sec"] for r in reps] == [0.60, 1.50, 0.58]
+    assert [r["canary_after_sec"] for r in reps] == [1.50, 0.58, 0.99]
