@@ -506,6 +506,24 @@ def warm_median(results: list[dict], budget_frac: float | None = None) -> dict:
     med["steal_budget_frac"] = frac
     med["canary_budget_sec"] = round(canary_budget_sec(), 3)
     med["qualified_reps"] = f"{len(qualified)}/{len(warm)}"
+    # Round-best qualified rep, beside the median: host noise is strictly
+    # ADDITIVE (a rep is never faster than the engine), so among qualified
+    # reps the best one is the faithful estimator of the engine's cost and
+    # the median is an upper bound that a single qualified-but-polluted
+    # rep drags arbitrarily high (measured r8: qualified warm reps
+    # [24.3, 57.3] s — the 57.3 passed both budgets yet carries ~33 s of
+    # interference no probe saw; their interpolated "median" 40.8
+    # represents neither). This is the SAME doctrine the stamped scaling
+    # gate uses per round ("median across rounds of each round's best
+    # warm rep", BENCH/BASELINE.md): one in-JVM series = one round, so
+    # its round statistic is its best qualified warm rep.
+    if qualified:
+        bq = max(qualified, key=lambda r: r["rows_per_sec"])
+        med["best_qualified_sec"] = round(bq["sec"], 3)
+        med["best_qualified_rows_per_sec"] = bq["rows_per_sec"]
+    else:
+        med["best_qualified_sec"] = None
+        med["best_qualified_rows_per_sec"] = None
     return med
 
 

@@ -480,3 +480,30 @@ def test_run_validation_reps_chains_canary_after(monkeypatch):
     reps = benchlib.run_validation_reps(_FakeSpark, "/nowhere", reps=3)
     assert [r["canary_sec"] for r in reps] == [0.60, 1.50, 0.58]
     assert [r["canary_after_sec"] for r in reps] == [1.50, 0.58, 0.99]
+
+
+def test_warm_median_reports_round_best_qualified(monkeypatch):
+    """r8 gate-doctrine alignment: noise is strictly additive, so the
+    best qualified warm rep is the round's faithful estimate; warm_median
+    must surface it beside the (upper-bound) median."""
+    monkeypatch.setattr(benchlib, "CANARY_CALM_SEC", 0.60)
+    monkeypatch.setattr(benchlib, "CANARY_BUDGET_RATIO", 1.15)
+    reps = [
+        _crep(28.8, 0, 0.60),   # cold — never the best-qualified source
+        _crep(24.3, 0, 0.59),
+        _crep(57.3, 0, 0.55),   # qualified yet polluted mid-rep
+        _crep(26.0, 9000, 0.58),  # steal-disqualified
+    ]
+    for r in reps:
+        r["rows_per_sec"] = 1000.0 / r["sec"]
+    m = benchlib.warm_median(reps, budget_frac=0.05)
+    assert m["qualified_reps"] == "2/3"
+    assert m["best_qualified_sec"] == 24.3
+    assert m["best_qualified_rows_per_sec"] == pytest.approx(1000.0 / 24.3)
+    assert m["sec"] == pytest.approx((24.3 + 57.3) / 2)  # median kept
+
+    # fully degraded window: no qualified rep -> explicit None
+    bad = [_crep(10.0, 0, 0.6), _crep(18.0, 5000, 0.6), _crep(20.0, 6000, 0.6)]
+    m = benchlib.warm_median(bad, budget_frac=0.05)
+    assert m["best_qualified_sec"] is None
+    assert m["best_qualified_rows_per_sec"] is None
