@@ -225,3 +225,79 @@ def ks_drift(
         return DriftResult(0.0, 1.0, 0, "ks")
     d = float(np.abs(np.cumsum(obs) / n_obs - np.cumsum(exp) / n_exp).max())
     return DriftResult(d, ks_two_sample_alpha(d, int(n_obs), int(n_exp)), 0, "ks")
+
+
+# --------------------------------------------------------------------------
+# population stability index
+# --------------------------------------------------------------------------
+
+#: proportion floor shared by the Spark plan, the numpy finish, and the
+#: DuckDB twin in tests — an empty bucket on either side would otherwise
+#: make ln(p_o/p_e) undefined. 1e-6 is the common industry convention; at
+#: the floor a fully novel bucket contributes ~p_o * ln(p_o/1e-6), loud
+#: but finite.
+PSI_FLOOR = 1e-6
+
+#: standard PSI decision bands (credit-scoring convention): < 0.1 stable,
+#: 0.1-0.25 moderate shift (investigate), >= 0.25 major shift (block).
+PSI_MODERATE = 0.10
+PSI_MAJOR = 0.25
+
+
+def psi_band(psi: float) -> str:
+    if psi >= PSI_MAJOR:
+        return "major"
+    if psi >= PSI_MODERATE:
+        return "moderate"
+    return "stable"
+
+
+def psi_statistic_df(
+    observed: DataFrame,
+    expected: DataFrame,
+    key: str = "bucket",
+    floor: float = PSI_FLOOR,
+) -> DataFrame:
+    """Distributed Population Stability Index over two k-bucket
+    histograms: PSI = sum over buckets of (p_o - p_e) * ln(p_o / p_e),
+    proportions floored at ``floor``. Complements chi-square (count-scale
+    sensitive) and KS (ordered ECDF) with the magnitude-of-shift measure
+    production scoring pipelines alert on; like the others it runs on
+    treewise-merged partial counts, so the full-outer bucket join and the
+    final scalar agg touch k rows, never data rows."""
+    o = _merge_counts(observed, key).withColumnRenamed("cnt", "o_cnt")
+    e = _merge_counts(expected, key).withColumnRenamed("cnt", "e_cnt")
+    j = o.join(e, key, "full_outer").select(
+        F.coalesce("o_cnt", F.lit(0)).cast("double").alias("o_cnt"),
+        F.coalesce("e_cnt", F.lit(0)).cast("double").alias("e_cnt"),
+    )
+    totals = j.agg(F.sum("o_cnt").alias("o_tot"), F.sum("e_cnt").alias("e_tot"))
+    p_o = F.greatest(F.col("o_cnt") / F.col("o_tot"), F.lit(float(floor)))
+    p_e = F.greatest(F.col("e_cnt") / F.col("e_tot"), F.lit(float(floor)))
+    return (
+        j.crossJoin(F.broadcast(totals))
+        .select(((p_o - p_e) * F.log(p_o / p_e)).alias("term"))
+        .agg(F.sum("term").alias("psi"))
+    )
+
+
+def psi_drift(
+    observed: DataFrame,
+    expected: DataFrame,
+    key: str = "bucket",
+    floor: float = PSI_FLOOR,
+) -> DriftResult:
+    """Driver-side PSI finish on the aligned k-bucket vectors. PSI has no
+    sampling distribution / p-value; ``p_value`` carries the band decision
+    instead (0.0 for a major shift, 0.5 moderate, 1.0 stable) so
+    ``DriftResult.drifted`` fires exactly on the major band."""
+    obs, exp = _aligned_counts(observed, expected, key)
+    n_obs, n_exp = obs.sum(), exp.sum()
+    if n_obs == 0 or n_exp == 0:
+        return DriftResult(0.0, 1.0, 0, "psi")
+    p_o = np.maximum(obs / n_obs, floor)
+    p_e = np.maximum(exp / n_exp, floor)
+    psi = float(((p_o - p_e) * np.log(p_o / p_e)).sum())
+    band = psi_band(psi)
+    pseudo_p = {"major": 0.0, "moderate": 0.5, "stable": 1.0}[band]
+    return DriftResult(psi, pseudo_p, len(obs), "psi")

@@ -92,3 +92,56 @@ def test_source_histogram_drift(spark, seq_man):
     poisoned = S.source_histogram(seq.filter(F.col("source") != "src_00"))
     res = D.chi_square_drift(poisoned, h, key="source")
     assert res.drifted
+
+
+def test_psi_zero_on_identical_and_major_on_shift(spark, seq_man):
+    seq, _, _ = seq_man
+    h = S.n_tok_histogram(seq, group_col=None)
+    res = D.psi_drift(h, h)
+    assert res.statistic == pytest.approx(0.0)
+    assert not res.drifted and D.psi_band(res.statistic) == "stable"
+    shifted = S.n_tok_histogram(
+        seq.withColumn("n_tok", F.col("n_tok") + F.lit(200)), group_col=None
+    )
+    res = D.psi_drift(shifted, h)
+    assert res.statistic > D.PSI_MAJOR
+    assert res.drifted and D.psi_band(res.statistic) == "major"
+
+
+def test_psi_bands():
+    assert D.psi_band(0.05) == "stable"
+    assert D.psi_band(0.10) == "moderate"
+    assert D.psi_band(0.249) == "moderate"
+    assert D.psi_band(0.25) == "major"
+
+
+def test_psi_spark_numpy_and_duckdb_agree(spark, seq_man):
+    """Three-way parity on the SAME merged histograms: the distributed
+    plan (psi_statistic_df), the driver-side numpy finish (psi_drift),
+    and a DuckDB twin sharing the PSI_FLOOR constant."""
+    import duckdb
+
+    seq, _, _ = seq_man
+    h = S.n_tok_histogram(seq, group_col=None)
+    poisoned = S.n_tok_histogram(
+        seq.filter(F.col("n_tok") % 7 != 0), group_col=None
+    )
+    spark_psi = D.psi_statistic_df(poisoned, h).collect()[0]["psi"]
+    numpy_psi = D.psi_drift(poisoned, h).statistic
+    o_pdf = poisoned.toPandas()
+    e_pdf = h.toPandas()
+    con = duckdb.connect()
+    con.register("obs", o_pdf)
+    con.register("expd", e_pdf)
+    duck_psi = con.execute(
+        f"""WITH o AS (SELECT bucket, CAST(sum(cnt) AS DOUBLE) o_cnt FROM obs GROUP BY bucket),
+             e AS (SELECT bucket, CAST(sum(cnt) AS DOUBLE) e_cnt FROM expd GROUP BY bucket),
+             j AS (SELECT coalesce(o_cnt, 0) o_cnt, coalesce(e_cnt, 0) e_cnt
+                   FROM o FULL OUTER JOIN e ON o.bucket = e.bucket),
+             t AS (SELECT sum(o_cnt) o_tot, sum(e_cnt) e_tot FROM j)
+            SELECT sum((greatest(o_cnt / t.o_tot, {D.PSI_FLOOR}) - greatest(e_cnt / t.e_tot, {D.PSI_FLOOR}))
+                       * ln(greatest(o_cnt / t.o_tot, {D.PSI_FLOOR}) / greatest(e_cnt / t.e_tot, {D.PSI_FLOOR})))
+            FROM j, t"""
+    ).fetchone()[0]
+    assert spark_psi == pytest.approx(numpy_psi, abs=1e-9)
+    assert spark_psi == pytest.approx(duck_psi, abs=1e-9)
