@@ -1,0 +1,86 @@
+"""Data-mixing: deterministic downsampling toward target source proportions.
+
+A training-data pipeline rarely consumes a corpus at its natural source
+mix — it reweights (e.g. 30% web, 30% code, 40% books). This operator
+computes per-source keep-rates that move the corpus to a target mixture by
+DOWNSAMPLING ONLY (no duplication: upsampling is an epoch-schedule concern,
+not a corpus transform), then applies them with the engine's deterministic
+hash-sampling predicate so re-runs, retries, different partitionings, and
+different engines keep the SAME rows.
+
+Semantics: given target proportions p_s (summing to ~1 over the sources it
+names), the achievable mixed-corpus size is N = min_s(count_s / p_s) — the
+scarcest source relative to its target share binds everything else. Each
+source then keeps needed_s = N * p_s rows via rate_s = needed_s / count_s;
+sources absent from the target are dropped. The per-source count table is
+collected to the driver (bounded by the number of sources, never data
+rows) and the rates return to the plan as a broadcast join.
+
+Reference anchor: the reference sizes what to keep per session-folder
+before clearing (/root/reference/data_validation.py:1150-1165); this is
+the same decide-from-aggregates-then-act shape over sources instead of
+folders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from np_data_validation_spark.functions.text import hash_sample_predicate
+
+#: ppm resolution of the sampling predicate (shared with tx_hash_sample)
+PPM = 1_000_000
+
+
+def mix_rates(
+    docs: DataFrame, target: dict[str, float], source_col: str = "source"
+) -> dict[str, int]:
+    """Per-source keep-rates (ppm) achieving ``target`` proportions by
+    downsampling only. Pure driver-side math on the per-source count
+    table; returned as a plain dict so callers can log / persist the
+    mixing decision beside the run's lineage rows."""
+    if not target:
+        return {}
+    bad = {s: p for s, p in target.items() if p <= 0}
+    if bad:
+        raise ValueError(f"target proportions must be > 0, got {bad}")
+    counts = {
+        r[source_col]: r["cnt"]
+        for r in docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("cnt")).collect()
+        if r[source_col] in target
+    }
+    missing = sorted(set(target) - set(counts))
+    if missing:
+        raise ValueError(f"target names sources absent from the corpus: {missing}")
+    n = min(counts[s] / p for s, p in target.items())
+    return {
+        s: min(PPM, int(n * target[s] / counts[s] * PPM)) for s in target
+    }
+
+
+def mix_corpus(
+    docs: DataFrame,
+    target: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Filter ``docs`` to the target mixture: the binding (scarcest
+    relative to target) source keeps everything, every other source is
+    deterministically hash-downsampled to match, sources outside the
+    target are dropped. One scan-shaped filter after a tiny
+    literal-rate CASE — no shuffle of the corpus."""
+    rates = mix_rates(docs, target, source_col=source_col)
+    if not rates:
+        return docs.limit(0)
+    rate_col = None
+    for s, ppm in rates.items():
+        cond = F.col(source_col) == F.lit(s)
+        rate_col = (
+            F.when(cond, F.lit(ppm))
+            if rate_col is None
+            else rate_col.when(cond, F.lit(ppm))
+        )
+    rate_col = rate_col.otherwise(F.lit(0))
+    return docs.filter(hash_sample_predicate(key_col, rate_col, salt=salt))
