@@ -133,8 +133,30 @@ def shingle_hashes(text_col: str = "text", n: int = SHINGLE_N) -> Column:
     return F.transform(shingle_expr(text_col, n), lambda s: portable_hash60(s))
 
 
+def shingle_hash_table(
+    docs: DataFrame, text_col: str = "text", n: int = SHINGLE_N
+) -> DataFrame:
+    """(doc_id, sh: array<long>, n_sh) — the hashed shingle set, computed
+    ONCE. The shingle construction (normalize -> substring transform ->
+    array_distinct -> per-shingle md5 hash) is the most expensive
+    interpreted-HOF expression in the dedup family and both the MinHash
+    fingerprint and the Jaccard verify consume exactly this set; callers
+    composing the two (dedup_corpus) checkpoint this table and pass it to
+    both via their ``shingles=`` parameter instead of paying the
+    construction per stage."""
+    return (
+        ensure_cpu_splits(docs)
+        .select(F.col("doc_id"), shingle_hashes(text_col, n).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+    )
+
+
 def minhash_signature(
-    docs: DataFrame, text_col: str = "text", k: int = MINHASH_K, n: int = SHINGLE_N
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    n: int = SHINGLE_N,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, mh_0..mh_{k-1}) via the universal-hash family
     mh_i = min over shingles of (A[i] * h(shingle) + B[i]) % P.
@@ -147,11 +169,22 @@ def minhash_signature(
     old form evaluated the md5-grade hash K times per shingle inside
     interpreted lambdas, and Catalyst's projection collapse re-derived
     the shingle array per signature column. The aggregate's key is
-    doc_id (unique per group after combine) — unskewed by construction."""
-    ex = ensure_cpu_splits(docs).select(
-        "doc_id", F.explode_outer(shingle_expr(text_col, n)).alias("_s")
-    )
-    base = ex.select("doc_id", (portable_hash60(F.col("_s")) % MINHASH_P).alias("_h"))
+    doc_id (unique per group after combine) — unskewed by construction.
+
+    ``shingles``: a precomputed shingle_hash_table to explode instead of
+    re-deriving the shingle set from text (the hash values are identical:
+    sh already holds portable_hash60 of each shingle)."""
+    if shingles is not None:
+        base = shingles.select(
+            "doc_id", F.explode_outer("sh").alias("_sh")
+        ).select("doc_id", (F.col("_sh") % MINHASH_P).alias("_h"))
+    else:
+        ex = ensure_cpu_splits(docs).select(
+            "doc_id", F.explode_outer(shingle_expr(text_col, n)).alias("_s")
+        )
+        base = ex.select(
+            "doc_id", (portable_hash60(F.col("_s")) % MINHASH_P).alias("_h")
+        )
     return base.groupBy("doc_id").agg(
         *[
             F.min((F.lit(MINHASH_A[i]) * F.col("_h") + F.lit(MINHASH_B[i])) % MINHASH_P).alias(
@@ -168,6 +201,7 @@ def minhash_bands(
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
     n: int = SHINGLE_N,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band, band_hash) — long form, one row per doc x band.
     Band hashes are computed from the AGGREGATED signature columns
@@ -175,7 +209,7 @@ def minhash_bands(
     re-inline the signature work into each band row."""
     assert k % bands == 0
     r = k // bands
-    sig = minhash_signature(docs, text_col, k, n)
+    sig = minhash_signature(docs, text_col, k, n, shingles=shingles)
     band_structs = F.array(
         *[
             F.struct(
@@ -224,10 +258,13 @@ def minhash_lsh_candidates(
     bands: int = MINHASH_BANDS,
     n: int = SHINGLE_N,
     max_bucket: int | None = 1000,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs agreeing on >=1 full band."""
     return _bucket_pairs(
-        minhash_bands(docs, text_col, k, bands, n), ["band", "band_hash"], max_bucket
+        minhash_bands(docs, text_col, k, bands, n, shingles=shingles),
+        ["band", "band_hash"],
+        max_bucket,
     )
 
 
@@ -237,6 +274,7 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = SHINGLE_N,
     threshold: float = 0.0,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs (the verify pass of the
     two-pass cheap-filter-then-expensive-check pattern, reference J7,
@@ -255,12 +293,16 @@ def jaccard_pairs(
     the SAME function, so even a collision cannot diverge the engines).
     The remaining per-pair cost is inherent set arithmetic — the scale
     lever is ``max_bucket`` capping the candidate count, not this
-    kernel."""
+    kernel.
+
+    ``shingles``: a precomputed (already materialized) shingle_hash_table
+    — callers that also ran MinHash over the same docs (dedup_corpus)
+    pass it so the construction is paid once per pipeline, not per
+    stage."""
     sh = (
-        ensure_cpu_splits(docs)
-        .select(F.col("doc_id"), shingle_hashes(text_col, n).alias("sh"))
-        .withColumn("n_sh", F.size("sh"))
-        .localCheckpoint(eager=True)
+        shingles
+        if shingles is not None
+        else shingle_hash_table(docs, text_col, n).localCheckpoint(eager=True)
     )
     a = sh.select(
         F.col("doc_id").alias("doc_a"),
@@ -727,11 +769,21 @@ def dedup_corpus(
         F.col("doc_id"), F.col(text_col).alias(text_col), fp
     ).withColumn("_rn", F.row_number().over(w))
     survivors = labeled.filter(F.col("_rn") == 1).select("doc_id", text_col)
+    # ONE shingle construction for the whole near-dup stage: MinHash
+    # derives its base hashes from the same hashed shingle set the
+    # Jaccard verify intersects, so both consume this checkpointed table
+    # (the construction — interpreted HOF over every surviving doc — was
+    # previously paid once per stage; measured ~1.9s of the 6.6s
+    # dedup_corpus wall at sf0.1)
+    sh = shingle_hash_table(survivors, text_col).localCheckpoint(eager=True)
     pairs = jaccard_pairs(
         survivors,
-        minhash_lsh_candidates(survivors, text_col=text_col, max_bucket=max_bucket),
+        minhash_lsh_candidates(
+            survivors, text_col=text_col, max_bucket=max_bucket, shingles=sh
+        ),
         text_col=text_col,
         threshold=threshold,
+        shingles=sh,
     )
     keep = cluster_keep_one(pairs)
     return (
