@@ -303,12 +303,18 @@ def _avalanche(acc: np.ndarray) -> np.ndarray:
 
 @F.pandas_udf(T.LongType())
 def tok_hash_udf(tokens: pd.Series) -> pd.Series:
-    """Vectorized pandas/Arrow UDF: tok_hash = XXH64(int32-LE buffer).
+    """Vectorized pandas UDF: tok_hash = XXH64(int32-LE buffer).
 
     Converts the incoming Series to an Arrow ListArray once (C-level), then
     hands the flat values + offsets straight to the numpy kernel. Null token
     arrays hash to null (the reference's "checksum not yet generated" state,
     /root/reference/data_validation.py:549-550).
+
+    Kept as the cross-checked twin of ``tok_hash_arrow`` (r9): the pandas
+    boundary pays two extra conversions per batch — Spark's Arrow->pandas
+    materializes one numpy object per row for a list column, and
+    ``pa.array`` re-boxes them — measured ~0.25 s/8M rows warm and ~2 s
+    cold vs the Arrow-native form, for identical values.
     """
     arr = pa.array(tokens, type=pa.list_(pa.int32()))
     offsets = arr.offsets.to_numpy()
@@ -319,6 +325,29 @@ def tok_hash_udf(tokens: pd.Series) -> pd.Series:
     valid = np.asarray(arr.is_valid())
     result[~valid] = pd.NA
     return result
+
+
+@F.arrow_udf(T.LongType())
+def tok_hash_arrow(tokens: pa.Array) -> pa.Array:
+    """Arrow-native vectorized UDF (r9, the hot-path kernel): the batch
+    arrives as a ``pa.ListArray`` and the flat values + offsets go straight
+    to the numpy kernel — no Arrow->pandas->Arrow round trip, no per-row
+    object materialization (guide §4: control how efficiently columns cross
+    the boundary). Values are bit-identical to ``tok_hash_udf`` (same
+    kernel; pinned by the udf_xxhash_golden driver oracle and
+    tests/test_hashing.py)."""
+    if isinstance(tokens, pa.ChunkedArray):  # defensive: chunked batches
+        tokens = tokens.combine_chunks()
+    if not (pa.types.is_list(tokens.type) and tokens.type.value_type == pa.int32()):
+        tokens = tokens.cast(pa.list_(pa.int32()))
+    offsets = tokens.offsets.to_numpy()
+    base, end = int(offsets[0]), int(offsets[-1])
+    flat = tokens.values.slice(base, end - base).to_numpy(zero_copy_only=False)
+    hashes = xxh64_int32_batch(flat, offsets - base).view(np.int64)
+    valid = np.asarray(tokens.is_valid())
+    if valid.all():
+        return pa.array(hashes, type=pa.int64())
+    return pa.array(hashes, type=pa.int64(), mask=~valid)
 
 
 def tok_hash_jvm(col: str | Column = "tokens") -> Column:
@@ -340,8 +369,15 @@ def with_tok_hash(
     per-file CRC32 was expensive (checksum_threshold,
     /root/reference/data_validation.py:424,487-491); the vectorized kernel
     removes the need — every row is fingerprinted.
+
+    ``method="pandas_udf"`` (the vectorized-Python kernel slot) dispatches
+    to the Arrow-native kernel since r9 — same numpy hot loop, same values
+    (golden-pinned), minus the Arrow->pandas->Arrow round trip; pass
+    ``"pandas_series"`` to force the legacy pandas boundary for comparison.
     """
-    if method == "pandas_udf":
+    if method in ("pandas_udf", "arrow_udf"):
+        return df.withColumn("tok_hash", tok_hash_arrow(F.col(tokens_col)))
+    if method == "pandas_series":
         return df.withColumn("tok_hash", tok_hash_udf(F.col(tokens_col)))
     if method == "jvm":
         return df.withColumn("tok_hash", tok_hash_jvm(tokens_col))

@@ -161,38 +161,46 @@ def minhash_signature(
     """(doc_id, mh_0..mh_{k-1}) via the universal-hash family
     mh_i = min over shingles of (A[i] * h(shingle) + B[i]) % P.
 
-    Execution shape (r8 rewrite, measured 8x on the hash term): the
-    shingle array is exploded to (doc_id, shingle) rows, the base hash is
-    a plain ROW expression (whole-stage codegen — only the shingle
-    construction itself remains an interpreted HOF), and the K minhashes
-    are K codegen `min` aggregates in ONE map-side-combined groupBy. The
-    old form evaluated the md5-grade hash K times per shingle inside
-    interpreted lambdas, and Catalyst's projection collapse re-derived
-    the shingle array per signature column. The aggregate's key is
-    doc_id (unique per group after combine) — unskewed by construction.
+    Execution shape (r9 rewrite — guide §2.4, remove shuffles outright):
+    fully ROW-LOCAL. The hashed shingle array (one md5-grade hash per
+    shingle — the r8 fix keeping the expensive hash single-eval) is
+    materialized as a *generated attribute* behind an ``explode(array())``
+    Generate barrier, so Catalyst's projection collapse cannot re-inline
+    the shingle construction into each of the K signature columns; the K
+    minhashes are then K ``array_min(transform(...))`` passes of pure
+    long arithmetic over that attribute. The r8 form got the same
+    single-eval guarantee from an explode + ONE map-side-combined groupBy
+    — correct at any scale, but it paid a docs-wide Exchange(doc_id) (and
+    a docs x shingles row explosion feeding the partial aggregate) for
+    what is inherently per-row work. Zero shuffle now; values are
+    identical (min over the same multiset; empty/null shingle arrays give
+    NULL in both forms — array_min([]) and min-over-no-rows are both
+    NULL).
 
-    ``shingles``: a precomputed shingle_hash_table to explode instead of
-    re-deriving the shingle set from text (the hash values are identical:
-    sh already holds portable_hash60 of each shingle)."""
+    ``shingles``: a precomputed shingle_hash_table (already an attribute,
+    no barrier needed) — callers composing MinHash with the Jaccard
+    verify (dedup_corpus) pass it so the construction is paid once per
+    pipeline."""
     if shingles is not None:
-        base = shingles.select(
-            "doc_id", F.explode_outer("sh").alias("_sh")
-        ).select("doc_id", (F.col("_sh") % MINHASH_P).alias("_h"))
+        base = shingles
     else:
-        ex = ensure_cpu_splits(docs).select(
-            "doc_id", F.explode_outer(shingle_expr(text_col, n)).alias("_s")
+        # Generate barrier: sh becomes an attribute evaluated exactly once
+        # per row (same device as jaccard_pairs' explode barrier).
+        base = ensure_cpu_splits(docs).select(
+            "doc_id",
+            F.explode(F.array(shingle_hashes(text_col, n))).alias("sh"),
         )
-        base = ex.select(
-            "doc_id", (portable_hash60(F.col("_s")) % MINHASH_P).alias("_h")
-        )
-    return base.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(MINHASH_A[i]) * F.col("_h") + F.lit(MINHASH_B[i])) % MINHASH_P).alias(
-                f"mh_{i}"
+    mh = [
+        F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda h: (F.lit(MINHASH_A[i]) * (h % MINHASH_P) + F.lit(MINHASH_B[i]))
+                % MINHASH_P,
             )
-            for i in range(k)
-        ]
-    )
+        ).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return base.select("doc_id", *mh)
 
 
 def minhash_bands(
@@ -204,9 +212,11 @@ def minhash_bands(
     shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band, band_hash) — long form, one row per doc x band.
-    Band hashes are computed from the AGGREGATED signature columns
-    (attributes, not expressions), so projection collapse cannot
-    re-inline the signature work into each band row."""
+    The band-struct array is evaluated ONCE per row by the explode's
+    Generate node, so each signature column's arithmetic runs exactly
+    once even after projection collapse inlines it (the expensive shingle
+    construction below it sits behind its own Generate barrier — see
+    minhash_signature)."""
     assert k % bands == 0
     r = k // bands
     sig = minhash_signature(docs, text_col, k, n, shingles=shingles)
@@ -226,7 +236,12 @@ def minhash_bands(
     )
 
 
-def _bucket_pairs(long_df: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
+def _bucket_pairs(
+    long_df: DataFrame,
+    keys: list[str],
+    max_bucket: int | None,
+    checkpoint: bool = True,
+) -> DataFrame:
     """Self-join rows sharing a bucket -> ordered candidate pairs.
 
     The bucket rows are eagerly materialized first: the self-join (and
@@ -234,8 +249,13 @@ def _bucket_pairs(long_df: DataFrame, keys: list[str], max_bucket: int | None) -
     times, and without the checkpoint each reference re-derives the whole
     upstream fingerprint pipeline (measured: candidate generation cost
     2x the bands cost at sf0.1). Bucket rows are slim — (doc_id, keys) x
-    bands per doc."""
-    long_df = long_df.localCheckpoint(eager=True)
+    bands per doc. ``checkpoint=False`` skips the barrier when the bucket
+    rows are already a CHEAP derivation (r9: row-local band arithmetic
+    over an upstream checkpointed shingle table) — re-deriving per
+    reference then costs a memory scan + long arithmetic, less than the
+    extra eager job + materialization."""
+    if checkpoint:
+        long_df = long_df.localCheckpoint(eager=True)
     if max_bucket:
         counts = long_df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
         long_df = long_df.join(
@@ -265,6 +285,10 @@ def minhash_lsh_candidates(
         minhash_bands(docs, text_col, k, bands, n, shingles=shingles),
         ["band", "band_hash"],
         max_bucket,
+        # with a precomputed shingle table the band rows are row-local
+        # arithmetic over an already-checkpointed attribute — rederive,
+        # don't re-materialize
+        checkpoint=shingles is None,
     )
 
 

@@ -167,16 +167,39 @@ def probe_pairs_from(
     if n_miss is None:
         n_miss = missed.count()
     withhash = missed.filter(F.col("tok_hash").isNotNull())
-    m = _manifest_m(manifest).filter(F.col("m_tok_hash").isNotNull())
     probe_salted = False
     if n_miss <= V.PROBE_BROADCAST_MAX:
         # broadcast the tiny missed side; the manifest is only scanned
         # (map-side hash lookup — manifest-side skew is irrelevant here,
-        # no shuffle partitions exist to funnel)
-        found = m.join(
+        # no shuffle partitions exist to funnel).
+        # r9 (guide §2.4/§8 — decide with small rows, never shuffle the
+        # big side): join the RAW manifest map-side first, dedup the JOIN
+        # OUTPUT on (identity, m_identity). The old shape ran
+        # _manifest_m's Exchange(m_doc_id) + dropDuplicates over the FULL
+        # manifest before the broadcast join — a manifest-wide shuffle
+        # whose only consumer was this probe (measured ~6.8 s of the
+        # ~10 s probe phase at 8M rows). Equivalence: s1 identities are
+        # unique (stage-1 pre-aggregates on full identity, s_mult rides
+        # along functionally determined), so dedup-manifest-then-join and
+        # join-then-dedup-pairs yield the SAME (identity, m_identity) row
+        # set — the exchange now carries only hash-matched pairs (a miss
+        # fraction) instead of every manifest row. NOTE: this rewrite is
+        # only valid over an identity-unique missed side; the generic
+        # verdicts.probe_pairs keeps dedup-before-join because its missed
+        # side is raw snapshot rows (duplicates must each keep a row).
+        m_raw = manifest.select(
+            F.col("doc_id").alias("m_doc_id"),
+            F.col("source").alias("m_source"),
+            F.col("n_tok").alias("m_n_tok"),
+            F.col("tok_hash").alias("m_tok_hash"),
+        ).filter(F.col("m_tok_hash").isNotNull())
+        found = m_raw.join(
             F.broadcast(withhash), F.col("tok_hash") == F.col("m_tok_hash"), "inner"
+        ).dropDuplicates(
+            IDENTITY_COLS + ["m_doc_id", "m_source", "m_n_tok", "m_tok_hash"]
         )
     else:
+        m = _manifest_m(manifest).filter(F.col("m_tok_hash").isNotNull())
         if callable(manifest_hot):
             manifest_hot = manifest_hot()
         if manifest_hot is None:
@@ -508,12 +531,16 @@ def validate_onepass(
     pool = ThreadPoolExecutor(max_workers=4)
     try:
         # Probe-key skew detection (manifest side of the tok_hash content
-        # probe) rides CONCURRENTLY with the big stage-1 write: a narrow
-        # one-column manifest scan whose latency hides behind the payload
-        # pass. Its result is consumed only if the probe takes the shuffle
-        # branch (miss set too big to broadcast).
-        mhot_f = pool.submit(
-            SK.detect_hot_keys, manifest.select("tok_hash"), ("tok_hash",)
+        # probe), LAZY since r9: its result is consumed only if the probe
+        # takes the shuffle branch (miss set too big to broadcast). The r8
+        # form submitted it eagerly to hide its latency behind stage 1 —
+        # but on the common broadcast-probe path the result is never read,
+        # and the concurrent narrow manifest scan (~1-2 s of cluster CPU)
+        # competes with stage 1 for the same cores (guide §1.2: don't
+        # compute things you throw away). The rare shuffle-branch probe
+        # now pays the detection latency serially instead.
+        mhot_f = lambda: SK.detect_hot_keys(  # noqa: E731
+            manifest.select("tok_hash"), ("tok_hash",)
         )
         # the miss count rides the stage-1 write as an observation (no extra job)
         obs = Observation("onepass_stage1")
@@ -526,7 +553,7 @@ def validate_onepass(
         s1 = write_read(s1_obs, "pairs_stage1")
         n_miss = int(obs.get["n_missing"] or 0)
         probed, n_miss, probe_salted = probe_pairs_from(
-            spark, s1, manifest, n_miss=n_miss, manifest_hot=mhot_f.result
+            spark, s1, manifest, n_miss=n_miss, manifest_hot=mhot_f
         )
         # identities (uniqueness/schema/stats input) and the probe table are
         # independent given the written s1 — submit both writes concurrently

@@ -467,15 +467,23 @@ def a5_histogram(spark, sf_dir):
          FROM orders) WHERE rn = 1""",
 )
 def w1_latest_per_key(spark, sf_dir):
-    """W1: latest record per key (the reference's 'last match wins')."""
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
-    )
+    """W1: latest record per key (the reference's 'last match wins').
+
+    r9 (guide §2.3, aggregate before you shuffle): expressed as ONE
+    map-side-combined max over struct(o_orderdate, o_orderkey) instead of
+    a row_number window — the lexicographic struct max IS the first row
+    under ORDER BY (o_orderdate DESC, o_orderkey DESC), row for row (the
+    frozen window-form oracle pins that equivalence; null dates lose the
+    max exactly as desc_nulls_last ranks them last). The window form
+    paid two sorts around the exchange (WindowGroupLimit already kept
+    shuffle volume down); the agg form is sort-free and shuffles one
+    partial row per (key, mapper)."""
+    latest = F.max(F.struct("o_orderdate", "o_orderkey")).alias("_latest")
     return (
         _t(spark, sf_dir, "orders")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_custkey", "o_orderkey")
+        .groupBy("o_custkey")
+        .agg(latest)
+        .select("o_custkey", F.col("_latest.o_orderkey").alias("o_orderkey"))
     )
 
 
@@ -1148,14 +1156,14 @@ def udf_xxhash_tokens(spark, sf_dir):
     ``udf_xxhash_golden`` (pinned spec goldens) — unregistering it in favor
     of ``dd_dedup_corpus`` makes every driver row value-checked. Still
     timed by bench.py (BENCH_ONLY) and exercised by tests/test_hashing.py."""
-    from np_data_validation_spark.functions.hashing import tok_hash_udf
+    from np_data_validation_spark.functions.hashing import tok_hash_arrow
 
     emb = _t(spark, sf_dir, "embeddings")
     toks = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: (x * 1000).cast("int")).alias("tokens"),
     )
-    return toks.select("vec_id", tok_hash_udf(F.col("tokens")).alias("tok_hash"))
+    return toks.select("vec_id", tok_hash_arrow(F.col("tokens")).alias("tok_hash"))
 
 
 def hll_distinct_sketch(spark, sf_dir):
@@ -1268,12 +1276,12 @@ def udf_xxhash_golden(spark, sf_dir):
     public-spec implementation — the golden-checksum doctrine of the
     reference (/root/reference/data_validation.py:204-208, :493-496),
     surfaced as a driver-checked oracle instead of pytest-only."""
-    from np_data_validation_spark.functions.hashing import tok_hash_udf
+    from np_data_validation_spark.functions.hashing import tok_hash_arrow
 
     fx = spark.read.parquet(_GOLDEN_FIXTURE)
     return fx.select(
         F.col("case_id").cast("int").alias("case_id"),
-        tok_hash_udf(F.col("tokens")).alias("tok_hash"),
+        tok_hash_arrow(F.col("tokens")).alias("tok_hash"),
     )
 
 

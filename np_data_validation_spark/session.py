@@ -53,6 +53,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing is BYTES-based; its 1m default floor collapses a
+        # small exchange (a few MB of text) to 1-2 partitions, serializing
+        # the CPU-bound interpreted-HOF stages downstream (shingle/minhash
+        # construction: measured 5.8 s -> 4.4 s on dd_dedup_corpus at
+        # sf0.1 with the lower floor). Scale-adaptive per guide §2: at
+        # production bytes the floor never binds (partitions are sized by
+        # advisory/parallelism), so this only changes small-input behavior
+        # where byte-proportional coalescing starves the CPU.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "32k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # count/min/max answered from parquet footers instead of scans —
@@ -66,6 +75,19 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    # Shuffle/spill scratch on the fastest local storage (guide §2.1: local
+    # disk bandwidth can be the tighter limit for shuffle files). The
+    # sandbox's java.io.tmpdir sits on the shared vda spindle whose
+    # writeback pollutes measurements (the bench already moved its job
+    # workdir to tmpfs for exactly this reason — benchlib doctrine); a
+    # production cluster points this at NVMe scratch via the same env.
+    # Parameterised, with the tmpfs default only where /dev/shm exists.
+    local_dir = os.environ.get(
+        "NPDV_LOCAL_DIR",
+        "/dev/shm/npdv_spark_local" if os.path.isdir("/dev/shm") else "",
+    )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
