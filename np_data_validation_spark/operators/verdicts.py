@@ -200,6 +200,17 @@ PROBE_ROW_WIDTH_BYTES = 96
 #: shuffle join on tok_hash. Derived from the byte budget (~700k rows).
 PROBE_BROADCAST_MAX = PROBE_BROADCAST_MAX_BYTES // PROBE_ROW_WIDTH_BYTES
 
+#: Conservative on-heap width of one tok_hash KEY inside a broadcast hash
+#: relation (8 data bytes + UnsafeRow/map overhead).
+PROBE_KEY_WIDTH_BYTES = 32
+
+#: Middle probe tier (r9, guide §3.2): when the missed ROWS blow the
+#: broadcast budget but their distinct tok_hash KEY SET still fits it, the
+#: key set is broadcast as a left-semi pre-filter that shrinks the
+#: manifest BEFORE its dedup/shuffle — same 64 MB byte budget, key-width
+#: denominator (~2M keys). Beyond this the probe is a full shuffle join.
+PROBE_KEYS_BROADCAST_MAX = PROBE_BROADCAST_MAX_BYTES // PROBE_KEY_WIDTH_BYTES
+
 
 def probe_pairs(
     missed: DataFrame,

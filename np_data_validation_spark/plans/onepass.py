@@ -199,7 +199,29 @@ def probe_pairs_from(
             IDENTITY_COLS + ["m_doc_id", "m_source", "m_n_tok", "m_tok_hash"]
         )
     else:
-        m = _manifest_m(manifest).filter(F.col("m_tok_hash").isNotNull())
+        mm = manifest
+        if n_miss <= V.PROBE_KEYS_BROADCAST_MAX:
+            # Keyed semi pre-filter (guide §3.2): the missed ROWS are too
+            # big to broadcast, but their distinct tok_hash KEYS (8 bytes
+            # each vs ~96-byte rows) still fit the byte budget. Broadcast
+            # the key set and left-semi the RAW manifest on it BEFORE the
+            # dedup exchange — rows without a missed hash cannot join, so
+            # dropping them map-side is lossless (the probe join is equi
+            # on tok_hash; filter commutes with the identity dedup because
+            # it only reads a dedup-key column). The downstream exchange
+            # then carries only hash-matched manifest rows (a miss-bound
+            # fraction) instead of the whole manifest — at the 48M bench
+            # this is the difference between shuffling 46M manifest rows
+            # and ~1M. Beyond the key budget (true 10^12-row regime) the
+            # full-shuffle branch below remains, detection + salting
+            # included.
+            keys = withhash.select(F.col("tok_hash").alias("_probe_h")).distinct()
+            mm = manifest.join(
+                F.broadcast(keys),
+                F.col("tok_hash") == F.col("_probe_h"),
+                "left_semi",
+            )
+        m = _manifest_m(mm).filter(F.col("m_tok_hash").isNotNull())
         if callable(manifest_hot):
             manifest_hot = manifest_hot()
         if manifest_hot is None:

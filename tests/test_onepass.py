@@ -157,3 +157,40 @@ def test_onepass_plan_shape(spark, frames):
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 2, f"expected 2 exchanges, got {n_exchanges}:\n{plan}"
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_probe_tiers_agree(spark, frames, tmp_path):
+    """r9: the three probe tiers — broadcast missed rows, keyed semi
+    pre-filter (missed rows over budget but key set under it), and full
+    shuffle — must return identical probed pair rows. The tier is picked
+    from ``n_miss``, which this test forces; the fixture's true miss set
+    is small, so forcing a bigger n_miss only changes the PLAN, never the
+    data. Also pins that the keyed tier's pre-filter is a broadcast
+    left-semi on the raw manifest (no manifest-wide exchange ahead of
+    it)."""
+    from np_data_validation_spark.operators import verdicts as V
+
+    snapshot, manifest = frames
+    s1_path = str(tmp_path / "s1_tiers")
+    onepass.pairs_stage1(snapshot, manifest).write.parquet(s1_path)
+    s1 = spark.read.parquet(s1_path)
+
+    cols = onepass.PAIR_COLS
+    outs = {}
+    for tier, forced in (
+        ("broadcast", None),  # true n_miss, under PROBE_BROADCAST_MAX
+        ("keyed", V.PROBE_BROADCAST_MAX + 1),
+        ("shuffle", V.PROBE_KEYS_BROADCAST_MAX + 1),
+    ):
+        probed, _, _ = onepass.probe_pairs_from(
+            spark, s1, manifest, n_miss=forced, manifest_hot=False
+        )
+        outs[tier] = _sorted_rows(probed, cols)
+    assert outs["broadcast"] == outs["keyed"] == outs["shuffle"]
+    assert len(outs["broadcast"]) > 0
+
+    probed_keyed, _, _ = onepass.probe_pairs_from(
+        spark, s1, manifest, n_miss=V.PROBE_BROADCAST_MAX + 1, manifest_hot=False
+    )
+    plan = probed_keyed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
