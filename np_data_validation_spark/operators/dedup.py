@@ -693,28 +693,40 @@ def connected_components(
     v>u attached to a min; small-star's self_edges keep each larger
     endpoint), so finishing from an intermediate contracted set labels
     exactly the nodes the fixpoint would."""
+    from pyspark.sql import Observation
+
+    def _ckpt_with_sig(df: DataFrame, tag: str):
+        """Eager localCheckpoint with the convergence signature riding the
+        SAME job as an Observation (r9): count + order-independent bit_xor
+        checksum used to fire as a separate collect job per round — one
+        whole job + scheduling gap saved per round. bit_xor is
+        order-independent and overflow-free (ANSI mode makes sum(xxhash64)
+        raise on long overflow); the edge set is distinct, so xor
+        cancellation of repeated rows cannot occur."""
+        obs = Observation(f"cc_sig_{tag}")
+        out = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).localCheckpoint(eager=True)
+        got = obs.get
+        return out, (got["n"], got["h"])
+
     # Checkpoint the INITIAL edge set too: ``pairs`` is typically the tail
     # of an expensive pipeline (MinHash -> banded LSH -> Jaccard verify),
     # and without this the first large-star (which references edges twice
     # via the symmetrization union) and the ``nodes`` projection below
     # would each recompute that whole pipeline from the scan.
-    edges = _cc_canonical(
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    ).localCheckpoint(eager=True)
+    edges, sig = _ckpt_with_sig(
+        _cc_canonical(pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))),
+        "init",
+    )
     nodes = (
         edges.select("u").unionByName(edges.select(F.col("v").alias("u"))).distinct()
     )
     prev_sig = None
-    for _ in range(max_rounds):
-        # bit_xor is order-independent and overflow-free (ANSI mode makes
-        # sum(xxhash64) raise on long overflow); the edge set is distinct,
-        # so xor cancellation of repeated rows cannot occur
-        row = edges.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        ).collect()[0]
-        sig = (row["n"], row["h"])
-        if row["n"] <= local_edge_threshold:
+    for rnd in range(max_rounds):
+        if sig[0] <= local_edge_threshold:
             edges = _cc_local_finish(edges)
             break
         if sig == prev_sig:
@@ -726,9 +738,9 @@ def connected_components(
         # ContextCleaner once unreferenced. (On a cluster with dynamic
         # allocation / executor churn, swap for a reliable checkpoint dir
         # — localCheckpoint blocks die with their executor.)
-        edges = _cc_canonical(
-            _cc_small_star(_cc_large_star(edges))
-        ).localCheckpoint(eager=True)
+        edges, sig = _ckpt_with_sig(
+            _cc_canonical(_cc_small_star(_cc_large_star(edges))), f"r{rnd}"
+        )
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"
