@@ -434,7 +434,14 @@ def contamination_overlap(
     """
     corpus = ensure_cpu_splits(corpus)
     shs = word_ngram_hashes(text_col, n)
-    bench_sh = benchmark.select(F.explode(shs).alias("sh")).distinct()
+    # the eval side is small, but its n-gram construction is the same
+    # CPU-bound interpreted HOF as the corpus side — an undersplit eval
+    # scan (a handful of input splits) serializes it (r9; measured 0.5 s
+    # on 1 task at sf0.1). Same guard as the corpus side; at production
+    # eval sizes the exchange is trivial.
+    bench_sh = (
+        ensure_cpu_splits(benchmark).select(F.explode(shs).alias("sh")).distinct()
+    )
     # explode_outer, not explode: plain explode makes Catalyst push its
     # implied `size(_shs) > 0 AND isnotnull(_shs)` predicate through the
     # projection, re-inlining the full n-gram expression into the Filter —

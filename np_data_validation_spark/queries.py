@@ -31,8 +31,25 @@ from np_data_validation_spark.operators import verdicts as V
 # ---------------------------------------------------------------------------
 
 
+#: (sf_dir, table) -> inferred StructType. Parquet footer/schema inference
+#: is driver-serial fixed cost paid at DataFrame CONSTRUCTION — measured
+#: ~75 ms per table read, ~0.3 s for a 5-table query like j10 (r9). The
+#: schema is metadata, inferred once per input directory from the actual
+#: files and reused for every later read of the same table — never a
+#: hardcoded guess, so a driver-generated scale factor with a different
+#: schema still works.
+_SCHEMA_MEMO: dict[tuple[str, str], object] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (sf_dir, name)
+    path = f"{sf_dir}/{name}.parquet"
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 def _i6(col):  # float -> stable integer (1e-6 grain)
