@@ -274,10 +274,20 @@ def psi_statistic_df(
     totals = j.agg(F.sum("o_cnt").alias("o_tot"), F.sum("e_cnt").alias("e_tot"))
     p_o = F.greatest(F.col("o_cnt") / F.col("o_tot"), F.lit(float(floor)))
     p_e = F.greatest(F.col("e_cnt") / F.col("e_tot"), F.lit(float(floor)))
+    # zero-count early-out (ADVICE r8 drift.py:278): psi_drift returns
+    # PSI 0.0 when either side has zero total, but the distributed form
+    # divided by the 0 (or NULL on a bucket-less join) total, yielding
+    # floor-driven or NULL psi on that edge — breaking the documented
+    # Spark/numpy parity. Emit 0.0 whenever a side is empty/NULL-total.
+    term = F.when(
+        (F.coalesce(F.col("o_tot"), F.lit(0.0)) == 0.0)
+        | (F.coalesce(F.col("e_tot"), F.lit(0.0)) == 0.0),
+        F.lit(0.0),
+    ).otherwise((p_o - p_e) * F.log(p_o / p_e))
     return (
         j.crossJoin(F.broadcast(totals))
-        .select(((p_o - p_e) * F.log(p_o / p_e)).alias("term"))
-        .agg(F.sum("term").alias("psi"))
+        .select(term.alias("term"))
+        .agg(F.coalesce(F.sum("term"), F.lit(0.0)).alias("psi"))
     )
 
 

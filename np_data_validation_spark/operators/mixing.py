@@ -39,7 +39,14 @@ def mix_rates(
     """Per-source keep-rates (ppm) achieving ``target`` proportions by
     downsampling only. Pure driver-side math on the per-source count
     table; returned as a plain dict so callers can log / persist the
-    mixing decision beside the run's lineage rows."""
+    mixing decision beside the run's lineage rows.
+
+    Resolution note (VERDICT r8 nit): rates are FLOORED to whole ppm, so
+    each source can undershoot its target by up to 1 ppm (and float
+    rounding can leave the binding source at 999_999 instead of
+    1_000_000) — deterministic, at most one row per million per source.
+    Callers needing exact-keep semantics for the binding source should
+    treat a rate within 1 ppm of PPM as keep-all."""
     if not target:
         return {}
     bad = {s: p for s, p in target.items() if p <= 0}

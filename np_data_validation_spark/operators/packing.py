@@ -57,6 +57,13 @@ def pack_sequences(
     session default parallelism; ``parts=0`` packs within the existing
     partitions (zero shuffle — use when the input's layout is already a
     deliberate ordering, e.g. curriculum order).
+
+    Determinism caveat (ADVICE r8 packing.py:74): with ``parts=None`` the
+    partition count comes from ``defaultParallelism``, so the "packing is
+    a pure function of the ids present" guarantee holds only PER session
+    configuration — the same corpus packs differently on hosts with
+    different core counts. Pass an explicit ``parts`` for cross-run /
+    cross-host reproducibility.
     """
     if budget <= 0:
         raise ValueError(f"budget must be > 0, got {budget}")

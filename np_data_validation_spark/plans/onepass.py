@@ -252,10 +252,18 @@ def probe_pairs_from(
     # with a null identity column (e.g. null n_tok) that content-matched
     # would reappear in `still` and double-report (found pair + spurious
     # MISSING row).
-    found_ids = found.select(*IDENTITY_COLS).dropDuplicates()
+    # the _f_ aliases mint fresh attribute ids: with the keyed probe tier
+    # the missed-side attributes appear TWICE inside ``found``'s lineage
+    # (join left + the broadcast key subtree), which trips Spark's
+    # ambiguous-self-join check on a bare column-object condition
+    found_ids = (
+        found.select(*IDENTITY_COLS)
+        .dropDuplicates()
+        .select(*[F.col(c).alias(f"_f_{c}") for c in IDENTITY_COLS])
+    )
     anti_cond = None
     for c in IDENTITY_COLS:
-        e = missed[c].eqNullSafe(found_ids[c])
+        e = missed[c].eqNullSafe(found_ids[f"_f_{c}"])
         anti_cond = e if anti_cond is None else anti_cond & e
     still = missed.join(found_ids, anti_cond, "left_anti").select(
         *IDENTITY_COLS,

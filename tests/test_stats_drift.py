@@ -176,3 +176,19 @@ def test_n_tok_quantiles_match_duckdb_exact(spark, seq_man):
     grow = got[(None, True)]
     for p, w in zip(S.QUANTILE_PROBS, want_g):
         assert grow[f"n_tok_p{int(p * 100):02d}"] == w, p
+
+
+def test_psi_statistic_df_empty_side_matches_psi_drift(spark, seq_man):
+    """ADVICE r8 drift.py:278 (fixed r9): the distributed PSI must match
+    psi_drift's zero-count fallback (PSI 0.0) when either or both sides
+    have zero total, instead of floor-driven or NULL values."""
+    from np_data_validation_spark.operators import drift as D
+    from np_data_validation_spark.operators import stats as S
+
+    seq, _, _ = seq_man
+    h = S.n_tok_histogram(seq, group_col=None)
+    empty = h.limit(0)
+    for obs, exp in ((empty, empty), (empty, h), (h, empty)):
+        got = D.psi_statistic_df(obs, exp).collect()[0]["psi"]
+        want = D.psi_drift(obs, exp).statistic
+        assert got == want == 0.0
