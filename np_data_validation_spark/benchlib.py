@@ -555,21 +555,21 @@ def run_validation_job(
     out = tempfile.mkdtemp(
         prefix="npdv_job_", dir=os.environ.get("NPDV_BENCH_WORKDIR")
     )
-    from concurrent.futures import ThreadPoolExecutor
-
     t0 = time.time()
     phases = {}
     t = time.time()
-    res = validate_onepass(spark, snapshot, manifest, out, hash_method=hash_method)
+    # derive_counts=True (r9): the violations/stats aggregations run
+    # CONCURRENTLY with the rolled write inside validate_onepass (guide
+    # §2.6 — overlap independent jobs; they only share the already-written
+    # s1/probe/identity files), instead of as a serial derive phase after
+    # it. The phases dict keeps both keys: "derive" is now the residual
+    # (~0), the overlapped work is inside "rolled_write".
+    res = validate_onepass(
+        spark, snapshot, manifest, out, hash_method=hash_method, derive_counts=True
+    )
     phases["rolled_write"] = round(time.time() - t, 2)
     t = time.time()
-    # violations and stats are independent reads of the written pair/identity
-    # tables — run them concurrently (serial driver-side derive phases are
-    # fixed cost that erodes high-parallelism scaling efficiency)
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        vf = pool.submit(res.violations.count)
-        sf = pool.submit(res.stats.count)
-        n_viol, stats_rows = vf.result(), sf.result()
+    n_viol, stats_rows = res.n_violations, res.n_stats_rows
     phases["derive"] = round(time.time() - t, 2)
     dt = time.time() - t0
     n_rows = res.n_rows
