@@ -507,3 +507,27 @@ def test_warm_median_reports_round_best_qualified(monkeypatch):
     m = benchlib.warm_median(bad, budget_frac=0.05)
     assert m["best_qualified_sec"] is None
     assert m["best_qualified_rows_per_sec"] is None
+
+
+def test_wait_for_calm_bounded_and_telemetry_free_path(monkeypatch):
+    """r9 calm-window waiter: returns 0.0 immediately when steal telemetry
+    is absent, respects the max-wait cap when the host never calms, and
+    reports ~0 when the first probe is already calm."""
+    from np_data_validation_spark import benchlib as B
+
+    # no telemetry -> no wait
+    monkeypatch.setattr(B, "_steal_ms", lambda: None)
+    assert B.wait_for_calm(max_wait_sec=10, probe_sec=0.01) == 0.0
+
+    # never calm -> capped
+    vals = iter(range(0, 10_000_000, 10_000))
+    monkeypatch.setattr(B, "_steal_ms", lambda: next(vals))
+    w = B.wait_for_calm(max_wait_sec=0.3, probe_sec=0.1)
+    assert 0.3 <= w <= 0.6
+
+    # instantly calm -> 0.0
+    monkeypatch.setattr(B, "_steal_ms", lambda: 12345)
+    assert B.wait_for_calm(max_wait_sec=10, probe_sec=0.01) == 0.0
+
+    # disabled -> 0.0
+    assert B.wait_for_calm(max_wait_sec=0) == 0.0
