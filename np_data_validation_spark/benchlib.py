@@ -267,11 +267,18 @@ def _dir_mb(path: str) -> int:
 #: waited time is recorded per rep (``calm_wait_sec``) so the artifact
 #: stays self-describing; 0 disables.
 CALM_PROBE_SEC = float(os.environ.get("NPDV_CALM_PROBE_SEC", "2"))
-CALM_WAIT_MAX_SEC = float(os.environ.get("NPDV_CALM_WAIT_MAX_SEC", "120"))
+#: TOTAL wave-avoidance budget for the whole process ("cap ~10 min
+#: total", VERDICT r8 task #2) — shared across every gated rep so a
+#: continuously-degraded host costs at most this much extra wall, never
+#: minutes per rep. Refundable only by process restart.
+CALM_WAIT_MAX_SEC = float(os.environ.get("NPDV_CALM_WAIT_MAX_SEC", "600"))
 #: calm iff probed steal rate <= this fraction of the steal budget rate —
 #: strictly inside the budget so jiffy-resolution noise cannot flip a rep
 #: that started calm into a disqualification by itself
 CALM_MARGIN = float(os.environ.get("NPDV_CALM_MARGIN", "0.6"))
+
+#: remaining process-wide calm-wait budget (see CALM_WAIT_MAX_SEC)
+_CALM_BUDGET_LEFT = CALM_WAIT_MAX_SEC
 
 
 def wait_for_calm(
@@ -280,14 +287,16 @@ def wait_for_calm(
     budget_frac: float | None = None,
 ) -> float:
     """Block until the instantaneous host steal rate is within
-    ``CALM_MARGIN`` of the per-rep steal budget rate, or until
-    ``max_wait_sec`` is exhausted. Returns seconds actually waited
-    (0.0 when the first probe is already calm or telemetry is absent).
-    The probe itself costs ``probe_sec`` even when calm — negligible
-    against the multi-second reps it guards."""
+    ``CALM_MARGIN`` of the per-rep steal budget rate, or until the
+    process-wide wait budget (``max_wait_sec`` when given) is exhausted.
+    Returns seconds actually waited (0.0 when the first probe is already
+    calm or telemetry is absent). The probe itself costs ``probe_sec``
+    even when calm — negligible against the multi-second reps it
+    guards."""
     import time as _time
 
-    max_wait = CALM_WAIT_MAX_SEC if max_wait_sec is None else max_wait_sec
+    global _CALM_BUDGET_LEFT
+    max_wait = _CALM_BUDGET_LEFT if max_wait_sec is None else max_wait_sec
     probe = CALM_PROBE_SEC if probe_sec is None else probe_sec
     frac = STEAL_BUDGET_FRAC if budget_frac is None else budget_frac
     if max_wait <= 0 or probe <= 0:
@@ -296,17 +305,26 @@ def wait_for_calm(
     # calm threshold in steal-ms per probe window: stolen_cores <= margin
     # x frac  <=>  steal_ms <= margin x frac x probe_ms
     limit_ms = CALM_MARGIN * frac * probe * 1000.0
+
+    def _charge(noisy_sec: float) -> float:
+        # only NOISY waiting consumes the process-wide budget (the final
+        # calm probe is the gate doing its job, not wave time)
+        global _CALM_BUDGET_LEFT
+        if max_wait_sec is None:
+            _CALM_BUDGET_LEFT = max(0.0, _CALM_BUDGET_LEFT - noisy_sec)
+        return round(noisy_sec, 1)
+
     while True:
         s0 = _steal_ms()
         if s0 is None:
-            return round(waited, 1)  # no telemetry -> nothing to wait on
+            return _charge(waited)  # no telemetry -> nothing to wait on
         _time.sleep(probe)
         s1 = _steal_ms()
         waited += probe
         if s1 is None or (s1 - s0) <= limit_ms:
-            return round(waited - probe, 1)  # the final calm probe is free
+            return _charge(waited - probe)  # the final calm probe is free
         if waited >= max_wait:
-            return round(waited, 1)
+            return _charge(waited)
 
 
 def run_validation_reps(

@@ -531,3 +531,19 @@ def test_wait_for_calm_bounded_and_telemetry_free_path(monkeypatch):
 
     # disabled -> 0.0
     assert B.wait_for_calm(max_wait_sec=0) == 0.0
+
+
+def test_wait_for_calm_process_budget_depletes(monkeypatch):
+    """The default cap is a PROCESS-WIDE budget: noisy waiting depletes it
+    so a continuously-degraded host costs at most CALM_WAIT_MAX_SEC total
+    across all gated reps, and later calls return immediately."""
+    from np_data_validation_spark import benchlib as B
+
+    vals = iter(range(0, 10_000_000, 10_000))
+    monkeypatch.setattr(B, "_steal_ms", lambda: next(vals))
+    monkeypatch.setattr(B, "_CALM_BUDGET_LEFT", 0.25)
+    w1 = B.wait_for_calm(probe_sec=0.1)
+    assert w1 >= 0.25
+    # budget now exhausted -> immediate return
+    assert B._CALM_BUDGET_LEFT == 0.0
+    assert B.wait_for_calm(probe_sec=0.1) == 0.0
