@@ -406,25 +406,12 @@ def word_ngram_hashes(text_col: str = "text", n: int = CONTAM_NGRAM_N) -> Column
     )
 
 
-def benchmark_shingles(
-    benchmark: DataFrame, text_col: str = "text", n: int = CONTAM_NGRAM_N
-) -> DataFrame:
-    """The eval suite's distinct word-n-gram hash set — the broadcast
-    build side of contamination_overlap, exposed so pipeline callers
-    (prepare_corpus) can materialize it CONCURRENTLY with an earlier
-    stage instead of serially inside the contamination job (r9, guide
-    §2.6). The undersplit guard spreads the CPU-bound n-gram HOF."""
-    shs = word_ngram_hashes(text_col, n)
-    return ensure_cpu_splits(benchmark).select(F.explode(shs).alias("sh")).distinct()
-
-
 def contamination_overlap(
     corpus: DataFrame,
     benchmark: DataFrame,
     text_col: str = "text",
     n: int = CONTAM_NGRAM_N,
     min_overlap: int = 1,
-    bench_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Training-corpus decontamination against a benchmark/eval suite: flag
     corpus documents sharing >= ``min_overlap`` distinct word n-grams with
@@ -450,13 +437,10 @@ def contamination_overlap(
     # the eval side is small, but its n-gram construction is the same
     # CPU-bound interpreted HOF as the corpus side — an undersplit eval
     # scan (a handful of input splits) serializes it (r9; measured 0.5 s
-    # on 1 task at sf0.1). benchmark_shingles carries the same guard;
-    # ``bench_shingles`` lets a pipeline caller pass a copy it
-    # materialized concurrently with an earlier stage.
+    # on 1 task at sf0.1). Same guard as the corpus side; at production
+    # eval sizes the exchange is trivial.
     bench_sh = (
-        bench_shingles
-        if bench_shingles is not None
-        else benchmark_shingles(benchmark, text_col, n)
+        ensure_cpu_splits(benchmark).select(F.explode(shs).alias("sh")).distinct()
     )
     # explode_outer, not explode: plain explode makes Catalyst push its
     # implied `size(_shs) > 0 AND isnotnull(_shs)` predicate through the
@@ -904,46 +888,25 @@ def prepare_corpus(
     survivors are a materialized intermediate table, not a re-derivable
     view. The contaminated id set (slim, two columns) is likewise
     materialized: it feeds both the anti-join and the label CASE."""
-    from concurrent.futures import ThreadPoolExecutor
-
     d0 = docs.select("doc_id", text_col)
-    # the eval-suite shingle set (contamination's broadcast build side)
-    # is independent of the funnel — materialize it CONCURRENTLY with the
-    # funnel checkpoint instead of serially inside the contamination job
-    # (r9, guide §2.6: overlap independent jobs)
-    bench_sh_f = None
-    pool = ThreadPoolExecutor(max_workers=1)
-    try:
-        if eval_docs is not None:
-            bench_sh_f = pool.submit(
-                lambda: benchmark_shingles(eval_docs, text_col).localCheckpoint(
-                    eager=True
-                )
+    fn = (
+        ensure_cpu_splits(d0)
+        .withColumn("_funnel", filter_funnel(text_col))
+        .localCheckpoint(eager=True)
+    )
+    s1 = fn.filter(F.col("_funnel") == "keep").select("doc_id", text_col)
+    contam_ids = None
+    s2 = s1
+    if eval_docs is not None:
+        contam_ids = (
+            contamination_overlap(
+                s1, eval_docs, text_col, min_overlap=contam_min_overlap
             )
-        fn = (
-            ensure_cpu_splits(d0)
-            .withColumn("_funnel", filter_funnel(text_col))
+            .select("doc_id")
+            .withColumn("_contam", F.lit(True))
             .localCheckpoint(eager=True)
         )
-        s1 = fn.filter(F.col("_funnel") == "keep").select("doc_id", text_col)
-        contam_ids = None
-        s2 = s1
-        if eval_docs is not None:
-            contam_ids = (
-                contamination_overlap(
-                    s1,
-                    eval_docs,
-                    text_col,
-                    min_overlap=contam_min_overlap,
-                    bench_shingles=bench_sh_f.result(),
-                )
-                .select("doc_id")
-                .withColumn("_contam", F.lit(True))
-                .localCheckpoint(eager=True)
-            )
-            s2 = s1.join(contam_ids.select("doc_id"), "doc_id", "left_anti")
-    finally:
-        pool.shutdown(wait=True)
+        s2 = s1.join(contam_ids.select("doc_id"), "doc_id", "left_anti")
     dd = dedup_corpus(s2, text_col, threshold=threshold, max_bucket=max_bucket)
     out = fn.select("doc_id", "_funnel")
     if contam_ids is not None:
